@@ -1,0 +1,98 @@
+"""Stage 6b — auto-threshold ("fraction_cut") of a score distribution.
+
+Re-implements the reference's logistic-tail cut
+(selfclean/cleaner/auto_cleaning_mixin.py:91-154) distributed:
+
+1. keep scores strictly inside (0, 1)                      (:106-107)
+2. logit transform  y = log(s / (1-s))                     (:109)
+3. two empirical quantiles of y at p and sqrt(p/2)         (:114-115)
+4. fit logistic loc/scale through those two quantiles
+   (get_scale_loc, :219-227): scale = (q2-q1)/(ppf(p2)-ppf(p1)),
+   loc = q1 - ppf(p1)*scale
+5. cutoff = ppf(q·p·N/M)·scale + loc; flag y < cutoff      (:118-125)
+
+For pair scores the reference squares alpha (M == condensed_size,
+:102-105).  ``scipy.stats.logistic.ppf`` has the closed form
+log(x/(1-x)) so no SciPy runs on executors — quantiles come from Spark
+(exact ``percentile`` at test scale, ``approxQuantile`` at scale, per
+SURVEY.md §7.4) and the two-point fit is driver arithmetic (C2/C3 in
+SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def logistic_ppf(x: float) -> float:
+    """scipy.stats.logistic.ppf closed form (loc 0, scale 1)."""
+    return math.log(x / (1.0 - x))
+
+
+@dataclass(frozen=True)
+class FractionCut:
+    cutoff_logit: float
+    q1: float
+    q2: float
+    loc: float
+    scale: float
+    n_flagged: int
+
+
+def fraction_cut(
+    scores: DataFrame,
+    score_col: str,
+    n_samples: int,
+    alpha: float = 0.01,
+    q: float = 0.05,
+    pair_scores: bool = False,
+    exact_quantiles: bool = True,
+    approx_rel_err: float = 1e-4,
+) -> tuple[DataFrame, FractionCut]:
+    """Flag the low tail of ``score_col``; returns (scores + ``auto_issue``
+    boolean column, fit diagnostics).
+
+    ``n_samples`` is the reference's ``self.N`` (dataset size), used in
+    the exclusion probability prob = q·p·N/M (:113).
+    """
+    if pair_scores:
+        alpha = alpha**2  # :102-105
+    in_range = scores.filter(
+        (F.col(score_col) > 0) & (F.col(score_col) < 1)
+    ).withColumn("_logit", F.log(F.col(score_col) / (1.0 - F.col(score_col))))
+
+    m = in_range.count()
+    if m < 2:
+        out = scores.withColumn("auto_issue", F.lit(False))
+        return out, FractionCut(float("-inf"), 0.0, 0.0, 0.0, 0.0, 0)
+
+    p1 = alpha
+    p2 = (0.5 * alpha) ** 0.5
+    if exact_quantiles:
+        row = in_range.agg(
+            F.expr(f"percentile(_logit, {p1})").alias("q1"),
+            F.expr(f"percentile(_logit, {p2})").alias("q2"),
+        ).collect()[0]
+        q1, q2 = float(row["q1"]), float(row["q2"])
+    else:
+        q1, q2 = in_range.stat.approxQuantile("_logit", [p1, p2], approx_rel_err)
+
+    scale = (q2 - q1) / (logistic_ppf(p2) - logistic_ppf(p1))
+    loc = q1 - logistic_ppf(p1) * scale
+    prob = q * p1 * n_samples / m
+    prob = min(max(prob, 1e-12), 1 - 1e-12)
+    cutoff = logistic_ppf(prob) * scale + loc
+
+    flagged = scores.withColumn(
+        "auto_issue",
+        F.when(
+            (F.col(score_col) > 0) & (F.col(score_col) < 1),
+            F.log(F.col(score_col) / (1.0 - F.col(score_col))) < F.lit(cutoff),
+        ).otherwise(F.lit(False)),
+    )
+    n_flagged = flagged.filter(F.col("auto_issue")).count()
+    return flagged, FractionCut(cutoff, q1, q2, loc, scale, n_flagged)

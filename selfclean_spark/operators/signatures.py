@@ -1,0 +1,103 @@
+"""Stage 1 — shingle + MinHash(128) + SimHash(64) signatures.
+
+Reference analog: the featurization stage ``embed_dataset`` that turns
+every sample into a dense (N, D) embedding row
+(selfclean/cleaner/selfclean.py:274-283) — the only input the analytic
+core needs (selfclean/cleaner/selfclean_cleaner.py:96-101).  Here the
+"embedding" is the (MinHash[128], SimHash) sketch pair, computed by ONE
+``mapInPandas`` pass per row batch: shingle → minhash → simhash without
+re-shingling (the reference likewise embeds once and reuses).
+
+Executor-side Python is Arrow-batched and fully vectorized
+(selfclean_spark.functions.sketches); ``content`` is dropped on output,
+so downstream stages never shuffle the raw text (column pruning is
+structural, not left to chance — SURVEY.md §7.4).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    IntegerType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from selfclean_spark.config import SignatureConfig
+from selfclean_spark.functions import sketches
+
+SIGNATURE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("content_sha", StringType(), False),
+        StructField("n_shingles", IntegerType(), False),
+        StructField("minhash", ArrayType(LongType(), False), False),
+        StructField("simhash", LongType(), False),
+    ]
+)
+
+
+def compute_signatures(ingested: DataFrame, cfg: SignatureConfig) -> DataFrame:
+    """(id, content_sha, content) → signatures table (FIXTURES.md §5).
+
+    The UDF closure captures only the frozen config + permutation seeds
+    (small, broadcast with the task); per batch it loops rows for the
+    string→shingle step (inherently per-string) but every numeric step
+    is a vectorized NumPy kernel.
+    """
+    perm_seeds = sketches.minhash_seeds(cfg.num_perm, cfg.seed)
+
+    def sign_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            minhashes: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+            simhashes = np.empty(n, dtype=np.int64)
+            n_shingles = np.empty(n, dtype=np.int32)
+            contents = pdf["content"].to_numpy()
+            for i in range(n):
+                sh = sketches.shingle(contents[i], cfg)
+                n_shingles[i] = sh.size
+                minhashes[i] = sketches.minhash_signature(sh, perm_seeds)
+                simhashes[i] = sketches.simhash_signature(sh)
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "content_sha": pdf["content_sha"].to_numpy(),
+                    "n_shingles": n_shingles,
+                    "minhash": minhashes,
+                    "simhash": simhashes,
+                }
+            )
+
+    pruned = ingested.select("id", "content_sha", "content")
+    return pruned.mapInPandas(sign_batches, schema=SIGNATURE_SCHEMA)
+
+
+def band_hashes(signatures: DataFrame, cfg: SignatureConfig) -> DataFrame:
+    """signatures → (id, band_id, band_hash): the LSH index keys.
+
+    Pure native expressions (JVM-side, codegen'd): ``slice`` each of the
+    b bands out of the minhash array and ``xxhash64`` it together with
+    the band index so hashes never collide across bands.  posexplode of
+    a b-element array per row — output is b× rows but only 3 narrow
+    columns (SURVEY.md C14).
+    """
+    r = cfg.lsh_rows
+    bands = F.array(
+        *[
+            F.xxhash64(F.slice("minhash", i * r + 1, r), F.lit(i))
+            for i in range(cfg.lsh_bands)
+        ]
+    )
+    return (
+        signatures.select("id", bands.alias("bands"))
+        .select("id", F.posexplode("bands").alias("band_id", "band_hash"))
+    )

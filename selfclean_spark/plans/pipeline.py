@@ -1,0 +1,256 @@
+"""End-to-end dedup pipeline: orchestration + checkpoint/resume + metrics.
+
+The stage DAG (SURVEY.md §3.4):
+
+    code_files ──ingest──▶ ingested(id, sha)          [checkpoint]
+        └─▶ signatures(minhash, simhash)              [checkpoint]
+              └─▶ bands ─▶ candidates(id_a, id_b)     [checkpoint]
+                    └─▶ verified_edges                [checkpoint]
+                          └─▶ components              [checkpoint]
+                          └─▶ rankings / auto-cuts    (results API)
+
+Reference analog of the lifecycle: SelfCleanCleaner.fit → predict
+(selfclean/cleaner/selfclean_cleaner.py:88-180, 182-246); its memmap
+spill files (:105-114) are our checkpoint tables.  Resume = skip any
+stage whose checkpoint exists under the same config hash — re-running a
+killed job reproduces byte-identical outputs because every kernel is
+seeded and every table is keyed (no positional state).
+
+Per-stage metrics (north rule): rows in/out, skew ratio (max/avg rows
+per shuffle key of the stage's dominant key), shuffle bytes (from the
+Spark status API where available).
+"""
+
+from __future__ import annotations
+
+import logging
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from selfclean_spark.catalog import ParquetCatalog, StageMetrics, now
+from selfclean_spark.config import PipelineConfig
+from selfclean_spark.operators import candidates as cand_ops
+from selfclean_spark.operators import components as comp_ops
+from selfclean_spark.operators import ingest as ingest_ops
+from selfclean_spark.operators import ranking as rank_ops
+from selfclean_spark.operators import signatures as sig_ops
+from selfclean_spark.operators import verify as verify_ops
+from selfclean_spark.operators.autoclean import fraction_cut
+from selfclean_spark.results import IssueManager, IssueTypes
+
+log = logging.getLogger(__name__)
+
+STAGES = ["ingested", "signatures", "candidates", "verified_edges", "components"]
+
+
+@dataclass
+class DedupPipeline:
+    spark: SparkSession
+    catalog: ParquetCatalog
+    config: PipelineConfig = field(default_factory=PipelineConfig)
+    assert_invariants: bool = True
+
+    # ------------------------------------------------------------------ utils
+
+    def _shuffle_bytes(self) -> int:
+        """Total shuffle-write bytes so far (JVM status API; cumulative,
+        recorded per stage as a delta by the caller)."""
+        try:
+            tracker = self.spark.sparkContext._jsc.sc().statusTracker()
+            total = 0
+            for sid in tracker.getActiveStageIds():
+                info = tracker.getStageInfo(sid)
+                if info is not None:
+                    total += info.shuffleWriteBytes() if hasattr(info, "shuffleWriteBytes") else 0
+            return total
+        except Exception:  # status API shape varies; metrics are best-effort
+            return 0
+
+    @staticmethod
+    def _skew_ratio(df: DataFrame, key_cols: list[str]) -> float:
+        """max/avg rows per key — the skew number the north rule asks for."""
+        if not key_cols:
+            return 1.0
+        stats = (
+            df.groupBy(*key_cols)
+            .count()
+            .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+            .collect()[0]
+        )
+        if not stats["av"]:
+            return 1.0
+        return float(stats["mx"]) / float(stats["av"])
+
+    def _run_stage(
+        self,
+        name: str,
+        build,  # () -> (DataFrame, dict extra, list[str] skew_keys)
+        rows_in: int,
+        force: bool = False,
+    ) -> DataFrame:
+        cfg_hash = self.config.config_hash()
+        if not force and self.catalog.exists(name, cfg_hash):
+            log.info("stage %s: checkpoint hit, skipping", name)
+            return self.catalog.read(name)
+        started = now()
+        df, extra, skew_keys = build()
+        skew = self._skew_ratio(df, skew_keys) if skew_keys else 1.0
+        shuffle_before = self._shuffle_bytes()
+        out = self.catalog.write(
+            name,
+            df,
+            StageMetrics(
+                stage=name,
+                rows_in=rows_in,
+                rows_out=-1,  # patched below (count after write = one scan)
+                skew_ratio=skew,
+                shuffle_bytes=shuffle_before,
+                config_hash=cfg_hash,
+                started_at=started,
+                finished_at=now(),
+                extra=extra,
+            ),
+        )
+        rows_out = out.count()
+        manifest = self.catalog._load_manifest()
+        manifest["stages"][name]["rows_out"] = rows_out
+        manifest["metrics"][-1]["rows_out"] = rows_out
+        manifest["metrics"][-1]["finished_at"] = now()
+        self.catalog._save_manifest(manifest)
+        if name == "ingested":
+            self._ingested = out
+        if self.assert_invariants and "content_sha" in out.columns:
+            bad = ingest_ops.assert_sha_invariant(out, self._ingested)
+            if bad:
+                raise AssertionError(f"stage {name}: {bad} sha256 invariant violations")
+        return out
+
+    # -------------------------------------------------------------------- run
+
+    def run(self, code_files: DataFrame, force: bool = False) -> IssueManager:
+        cfg = self.config
+        if cfg.shuffle_partitions:
+            self.spark.conf.set(
+                "spark.sql.shuffle.partitions", str(cfg.shuffle_partitions)
+            )
+
+        n_input = code_files.count()
+
+        # stage 0: ingest ------------------------------------------------
+        self._ingested = self._run_stage(
+            "ingested",
+            lambda: (ingest_ops.with_identity(code_files), {}, ["id"]),
+            rows_in=n_input,
+            force=force,
+        )
+        ingested = self._ingested
+        metadata = ingest_ops.metadata_of(ingested)
+
+        # stage 1: signatures ---------------------------------------------
+        signatures = self._run_stage(
+            "signatures",
+            lambda: (sig_ops.compute_signatures(ingested, cfg.signature), {}, []),
+            rows_in=n_input,
+            force=force,
+        )
+
+        # stage 2+3: bands → candidates ------------------------------------
+        def build_candidates():
+            bands = sig_ops.band_hashes(signatures, cfg.signature)
+            pairs, dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
+            dropped_rows = dropped.count()
+            extra = {"dropped_band_buckets": dropped_rows}
+            if dropped_rows:
+                log.warning(
+                    "candidates: dropped %d hot band-buckets (> %d rows)",
+                    dropped_rows,
+                    cfg.band_bucket_cap,
+                )
+            # exact-dup pairs (sha equality) are injected so capped hot
+            # buckets can never lose verbatim duplicates
+            exact = cand_ops.exact_duplicate_pairs(ingested).withColumn(
+                "n_bands_hit", F.lit(cfg.signature.lsh_bands)
+            )
+            all_pairs = (
+                pairs.unionByName(exact)
+                .groupBy("id_a", "id_b")
+                .agg(F.max("n_bands_hit").alias("n_bands_hit"))
+            )
+            return all_pairs, extra, ["id_a"]
+
+        candidates = self._run_stage(
+            "candidates", build_candidates, rows_in=n_input, force=force
+        )
+
+        # stage 4: verification --------------------------------------------
+        verified = self._run_stage(
+            "verified_edges",
+            lambda: (
+                verify_ops.verify_candidates(candidates, ingested, signatures, cfg),
+                {},
+                ["id_a"],
+            ),
+            rows_in=candidates.count(),
+            force=force,
+        )
+        if self.assert_invariants:
+            self._assert_edge_shas(verified, ingested)
+
+        # stage 5: connected components -------------------------------------
+        def build_components():
+            comps, rounds = comp_ops.connected_components(
+                verified, cfg.cc_max_iterations
+            )
+            full = comp_ops.with_singletons(comps, ingested)
+            return full, {"cc_rounds": rounds}, ["component_id"]
+
+        components = self._run_stage(
+            "components", build_components, rows_in=n_input, force=force
+        )
+
+        # stage 6: rankings --------------------------------------------------
+        manager = IssueManager()
+        near_dups = rank_ops.near_duplicate_ranking(verified, metadata)
+        isolation = rank_ops.isolation_ranking(signatures, metadata)
+        lang_mismatch = rank_ops.lang_mismatch_ranking(verified, metadata)
+
+        if cfg.auto_cleaning:
+            near_dups, nd_fit = fraction_cut(
+                near_dups, "dist", n_samples=n_input,
+                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q, pair_scores=True,
+            )
+            isolation, iso_fit = fraction_cut(
+                isolation, "score", n_samples=n_input,
+                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
+            )
+            lang_mismatch, lm_fit = fraction_cut(
+                lang_mismatch, "score", n_samples=n_input,
+                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
+            )
+            manager.meta["fits"] = {
+                "near_duplicates": nd_fit, "off_topic_samples": iso_fit,
+                "label_errors": lm_fit,
+            }
+
+        manager.register(IssueTypes.NEAR_DUPLICATES, near_dups)
+        manager.register(IssueTypes.OFF_TOPIC_SAMPLES, isolation)
+        manager.register(IssueTypes.LABEL_ERRORS, lang_mismatch)
+        manager.register(IssueTypes.COMPONENTS, components)
+        manager.register("verified_edges", verified)
+        manager.register("signatures", signatures)
+        manager.register("metadata", metadata)
+        return manager
+
+    def _assert_edge_shas(self, verified: DataFrame, ingested: DataFrame) -> None:
+        """sha invariant for the pair table (both endpoints)."""
+        for side in ("a", "b"):
+            stage_side = verified.select(
+                F.col(f"id_{side}").alias("id"), F.col(f"sha_{side}").alias("content_sha")
+            )
+            bad = ingest_ops.assert_sha_invariant(stage_side, self._ingested)
+            if bad:
+                raise AssertionError(
+                    f"verified_edges: {bad} sha256 invariant violations on side {side}"
+                )

@@ -1,0 +1,67 @@
+"""Result API — the IssueManager analog.
+
+Reference: selfclean/cleaner/issue_manager.py:18-71 — a dict of
+``{issue_type: {"indices", "scores", ["auto_issues"]}}`` whose
+``get_issues(..., return_as_df=True)`` materializes a pandas DataFrame
+with path/label metadata mapped in positionally (:39-62).
+
+Here every issue is already a (lazily planned) DataFrame with metadata
+joined by key, so the manager is a thin registry: typed access, the
+``return_as_df`` flavor is ``.toPandas()`` on demand, and the
+backwards-compat alias the reference keeps ("irrelevants" →
+off_topic_samples, issue_manager.py:66-75) maps "off_topic_samples" →
+our isolation ranking.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass, field
+from enum import Enum
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+
+class IssueTypes(Enum):
+    """≙ reference enum selfclean/cleaner/issue_manager.py:9-15."""
+
+    NEAR_DUPLICATES = "near_duplicates"
+    OFF_TOPIC_SAMPLES = "off_topic_samples"  # isolation ranking
+    LABEL_ERRORS = "label_errors"  # lang-mismatch ranking
+    COMPONENTS = "components"  # ours: flat dup clusters
+
+
+_ALIASES = {
+    "irrelevants": "off_topic_samples",  # issue_manager.py:66-75
+    "isolation": "off_topic_samples",
+    "lang_mismatch": "label_errors",
+    "clusters": "components",
+}
+
+
+@dataclass
+class IssueManager:
+    issues: dict[str, DataFrame] = field(default_factory=dict)
+    meta: dict[str, dict] = field(default_factory=dict)
+
+    def register(self, issue_type: str | IssueTypes, df: DataFrame, **meta) -> None:
+        key = issue_type.value if isinstance(issue_type, IssueTypes) else issue_type
+        self.issues[key] = df
+        if meta:
+            self.meta[key] = meta
+
+    def keys(self) -> list[str]:
+        return list(self.issues)
+
+    def __getitem__(self, issue_type: str | IssueTypes) -> DataFrame | None:
+        key = issue_type.value if isinstance(issue_type, IssueTypes) else issue_type
+        key = _ALIASES.get(key, key)
+        return self.issues.get(key)
+
+    def get_issues(
+        self, issue_type: str | IssueTypes, return_as_df: bool = False
+    ) -> DataFrame | pd.DataFrame | None:
+        df = self[issue_type]
+        if df is None:
+            return None
+        return df.toPandas() if return_as_df else df
