@@ -1,0 +1,108 @@
+"""Scaling-efficiency evidence (north rule: ≥0.8 efficiency from N to
+4N executors; sandbox evidence = local[8] vs local[32] on identical
+input).
+
+Generates a deterministic bench corpus once (Spark-side generator —
+content is a pure function of row index, identical at any
+parallelism), then runs the full dedup pipeline at both parallelism
+levels with fresh checkpoints, records files/sec, and checks the two
+runs' final components are byte-identical.
+
+Usage: python BENCH/run_scaling.py [n_rows] [low_cpus] [high_cpus]
+Writes BENCH/scaling.json and updates BENCH/BASELINE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from selfclean_spark.catalog import ParquetCatalog  # noqa: E402
+from selfclean_spark.config import PipelineConfig  # noqa: E402
+from selfclean_spark.plans.pipeline import DedupPipeline  # noqa: E402
+from selfclean_spark.session import get_spark  # noqa: E402
+from selfclean_spark.synth import synth_code_files_spark  # noqa: E402
+
+BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
+DATA_DIR = os.path.join(BENCH_DIR, "data")
+
+
+def ensure_corpus(n_rows: int, seed: int = 42) -> str:
+    path = os.path.join(DATA_DIR, f"code_files_{n_rows}")
+    marker = os.path.join(path, "_SUCCESS")
+    if os.path.exists(marker):
+        return path
+    spark = get_spark("bench-gen", master="local[32]")
+    df = synth_code_files_spark(spark, n_rows, seed=seed).drop("truth_group")
+    df.write.mode("overwrite").parquet(path)
+    spark.stop()
+    return path
+
+
+def run_once(corpus_path: str, cpus: int, tag: str) -> dict:
+    spark = get_spark(
+        f"bench-{tag}",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(cpus * 2, 16))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+    code_files = spark.read.parquet(corpus_path)
+    n = code_files.count()
+    root = os.path.join(BENCH_DIR, f"ckpt_{tag}")
+    shutil.rmtree(root, ignore_errors=True)
+    pipe = DedupPipeline(spark, ParquetCatalog(spark, root), PipelineConfig())
+    t0 = time.time()
+    manager = pipe.run(code_files)
+    n_edges = manager["verified_edges"].count()
+    n_comp = manager["components"].select("component_id").distinct().count()
+    wall = time.time() - t0
+    comp_hash = (
+        manager["components"]
+        .selectExpr("bit_xor(xxhash64(id, component_id)) as h", "count(*) as n")
+        .collect()[0]
+    )
+    spark.stop()
+    return {
+        "cpus": cpus,
+        "rows": n,
+        "wall_sec": round(wall, 2),
+        "files_per_sec": round(n / wall, 1),
+        "verified_edges": n_edges,
+        "components": n_comp,
+        "components_fingerprint": [int(comp_hash["h"]), int(comp_hash["n"])],
+    }
+
+
+def main() -> None:
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    corpus = ensure_corpus(n_rows)
+
+    res_low = run_once(corpus, low, f"c{low}")
+    res_high = run_once(corpus, high, f"c{high}")
+    speedup = res_low["wall_sec"] / res_high["wall_sec"]
+    efficiency = speedup / (high / low)
+    identical = (
+        res_low["components_fingerprint"] == res_high["components_fingerprint"]
+    )
+    out = {
+        "n_rows": n_rows,
+        "low": res_low,
+        "high": res_high,
+        "speedup": round(speedup, 3),
+        "scaling_efficiency": round(efficiency, 3),
+        "outputs_identical": identical,
+    }
+    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -1,10 +1,11 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` runs the flagship near-duplicate pipeline on the
+sf0.001 documents corpus; ``queries()`` exposes every implemented
+operator from SURVEY.md §2 plus the training-data-pipeline extensions
+(dedup family, similarity search, text analysis); ``oracle_sql()``
+gives DuckDB-runnable twins for the SQL-expressible ones (the sketch
+pipeline itself is gated by the pytest oracle-recall suite instead).
 """
 
 from __future__ import annotations
@@ -13,26 +14,44 @@ from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
 
+from selfclean_spark import queries as Q
+from selfclean_spark.oracles import ORACLES
+
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: MinHash-LSH verified near-duplicate edges + connected
+    components over the sf0.001 documents corpus."""
+    return Q.minhash_components(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # exact dedup family (oracle-checked)
+        "exact_dup_groups": Q.exact_dup_groups,
+        "exact_components": Q.exact_components,
+        "fingerprint_docs": Q.fingerprint_docs,
+        "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
+        "token_jaccard_pairs": Q.token_jaccard_pairs,
+        # text analysis (oracle-checked)
+        "doc_stats": Q.doc_stats,
+        "quality_by_source": Q.quality_by_source,
+        "lang_id_counts": Q.lang_id_counts,
+        # vector similarity (oracle-checked)
+        "cosine_topk": Q.cosine_topk,
+        "embedding_norms": Q.embedding_norms,
+        # generic OLAP (oracle-checked)
+        "tpch_q1": Q.tpch_q1,
+        "events_hourly": Q.events_hourly,
+        # sketch pipeline (rows-only: not ANSI-SQL-expressible; exact
+        # correctness gated by tests/test_oracle_recall.py)
+        "minhash_verified_pairs": Q.minhash_verified_pairs,
+        "minhash_components": Q.minhash_components,
+        "simhash_near_pairs": Q.simhash_near_pairs,
+        "isolation_ranking": Q.isolation_ranking,
+        "lsh_topk_ann": Q.lsh_topk_ann,
+        "embedding_dup_pairs": Q.embedding_dup_pairs,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return dict(ORACLES)

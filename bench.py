@@ -1,0 +1,97 @@
+"""Benchmark harness (driver contract): runs the headline queries at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+    {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+``value`` is the total wall-clock of all headline queries.  Each query
+is fully materialized through Spark's noop sink (no driver collect
+cost).  Extra context fields (files/sec for the dedup pipeline, row
+counts) ride along — the driver reads the required keys, humans read
+the rest.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+
+from selfclean_spark import queries as Q  # noqa: E402
+from selfclean_spark.session import get_spark  # noqa: E402
+
+HEADLINE = [
+    # the dedup engine (flagship)
+    "minhash_verified_pairs",
+    "minhash_components",
+    "simhash_near_pairs",
+    "exact_components",
+    "ngram_jaccard_pairs",
+    # text analysis
+    "doc_stats",
+    "quality_by_source",
+    # similarity search
+    "cosine_topk",
+    "lsh_topk_ann",
+    # generic OLAP
+    "tpch_q1",
+    "events_hourly",
+]
+
+
+def materialize(df) -> int:
+    df.write.format("noop").mode("overwrite").save()
+    return 0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    m = re.search(r"sf([0-9.]+)", sf_dir)
+    sf = float(m.group(1)) if m else -1.0
+
+    spark = get_spark(
+        "selfclean-spark-bench",
+        master=f"local[{cpus}]",
+        extra_conf={"spark.sql.shuffle.partitions": str(max(int(cpus) * 2, 8))},
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    fns = {
+        name: getattr(Q, name)
+        for name in HEADLINE
+    }
+    timings: dict[str, float] = {}
+    total = 0.0
+    n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    for name, fn in fns.items():
+        t0 = time.time()
+        materialize(fn(spark, sf_dir))
+        dt = time.time() - t0
+        timings[name] = round(dt, 3)
+        total += dt
+
+    dedup_secs = timings["minhash_verified_pairs"] + timings["minhash_components"]
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": round(total, 3),
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+                "cpus": int(cpus),
+                "docs": n_docs,
+                "dedup_files_per_sec": round(n_docs / dedup_secs, 1) if dedup_secs else None,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,182 @@
+"""Generic corpus-deduplication operators over any (id, text) relation.
+
+The pipeline in ``plans.pipeline`` is specialized to the
+``code_files`` relation; these operators expose the same primitives —
+exact dedup, n-gram Jaccard near-dup, MinHash/LSH, SimHash — as
+standalone DataFrame transformations a training-data pipeline would
+call on a document corpus (e.g. the ``documents`` testdata table).
+
+Everything except the sketch kernels is native Spark SQL (exact
+ANSI-SQL oracle twins exist for the native ones).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from selfclean_spark.config import PipelineConfig, SignatureConfig
+from selfclean_spark.operators import candidates as cand_ops
+from selfclean_spark.operators import signatures as sig_ops
+from selfclean_spark.operators import verify as verify_ops
+
+
+def _std(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("content"))
+
+
+def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Hash-groupBy exact dedup: one row per duplicated content value.
+
+    Shuffles only (md5, id) — the 128-bit digest is the group key, so
+    the raw text never moves (at 100 TB the digest table is ~50 GB).
+    """
+    std = _std(df, id_col, text_col)
+    return (
+        std.select(F.md5("content").alias("content_md5"), "id")
+        .groupBy("content_md5")
+        .agg(
+            F.count(F.lit(1)).alias("dup_count"),
+            F.min("id").alias("representative"),
+        )
+        .filter(F.col("dup_count") > 1)
+    )
+
+
+def exact_dup_pairs(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """All (id_a < id_b) pairs with byte-identical content."""
+    std = _std(df, id_col, text_col).select(F.md5("content").alias("k"), "id")
+    a = std.select("k", F.col("id").alias("id_a"))
+    b = std.select("k", F.col("id").alias("id_b"))
+    return (
+        a.join(b, "k")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+
+
+def exact_components(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """Connected components of the exact-dup graph — for byte equality
+    these are simply min(id) per content group (one window, no
+    iteration needed)."""
+    std = _std(df, id_col, text_col)
+    w = Window.partitionBy(F.md5("content"))
+    return std.select(
+        "id", F.min("id").over(w).alias("component_id")
+    )
+
+
+def token_jaccard_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.6,
+    max_doc_freq: int = 10_000,
+) -> DataFrame:
+    """Token-SET Jaccard near-dup pairs via the inverted-index join
+    (n-gram Jaccard with n=1; see ``minhash_lsh_pairs`` for the
+    sketched scale path).
+
+    Plan: distinct (token, id) postings → self-join on token →
+    per-pair common-token count → Jaccard from per-doc distinct counts.
+    ``max_doc_freq`` drops ubiquitous tokens from the index (classic
+    df-cut; a token in f docs contributes f² join rows) — with the cap
+    this is the exact Jaccard *of the capped vocabulary*; at default
+    settings on test corpora no token hits the cap so it is plain
+    exact.  All native, oracle-checkable in SQL.
+    """
+    std = _std(df, id_col, text_col)
+    postings = std.select(
+        "id", F.explode(F.array_distinct(F.split(F.trim("content"), r"\s+"))).alias("tok")
+    ).filter(F.length("tok") > 0)
+    doc_sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
+    tok_freq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    pruned = postings.join(
+        tok_freq.filter(F.col("df") <= max_doc_freq).select("tok"), "tok"
+    )
+    a = pruned.select("tok", F.col("id").alias("id_a"))
+    b = pruned.select("tok", F.col("id").alias("id_b"))
+    common = (
+        a.join(b, "tok")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(doc_sizes.select(F.col("id").alias("id_a"), F.col("n_tok").alias("n_a")), "id_a")
+        .join(doc_sizes.select(F.col("id").alias("id_b"), F.col("n_tok").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: PipelineConfig | None = None,
+) -> DataFrame:
+    """Full sketch path on an arbitrary corpus: shingle → MinHash →
+    LSH bands → candidate join → exact verification.  Returns
+    verified_edges (id_a, id_b, jaccard, hamming, substring, dist)."""
+    cfg = cfg or PipelineConfig()
+    std = _std(df, id_col, text_col).withColumn(
+        "content_sha", F.sha2("content", 256)
+    )
+    signatures = sig_ops.compute_signatures(std, cfg.signature)
+    bands = sig_ops.band_hashes(signatures, cfg.signature)
+    pairs, _dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
+    return verify_ops.verify_candidates(pairs, std, signatures, cfg)
+
+
+def simhash_near_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_hamming: int = 8,
+    cfg: SignatureConfig | None = None,
+    n_tables: int = 4,
+) -> DataFrame:
+    """SimHash near-dup pairs: 64-bit fingerprints, banded into
+    ``n_tables`` 16-bit prefixes for blocking (two docs within Hamming
+    distance h collide in at least one block when h < n_tables), then
+    exact Hamming check via native bit_count."""
+    cfg = cfg or SignatureConfig()
+    std = _std(df, id_col, text_col).withColumn(
+        "content_sha", F.sha2("content", 256)
+    )
+    sigs = sig_ops.compute_signatures(std, cfg).select("id", "simhash")
+    width = 64 // n_tables
+    blocks = sigs.select(
+        "id",
+        "simhash",
+        F.posexplode(
+            F.array(
+                *[
+                    F.shiftrightunsigned("simhash", i * width).bitwiseAND(
+                        F.lit((1 << width) - 1)
+                    )
+                    for i in range(n_tables)
+                ]
+            )
+        ).alias("block_id", "block_key"),
+    )
+    a = blocks.select(
+        "block_id", "block_key", F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")
+    )
+    b = blocks.select(
+        "block_id", "block_key", F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
+    )
+    return (
+        a.join(b, ["block_id", "block_key"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)"))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("id_a", "id_b", "hamming")
+        .distinct()
+    )

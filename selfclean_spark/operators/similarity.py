@@ -1,0 +1,188 @@
+"""Similarity search over an embedding column (array<float>).
+
+The reference's Annoy approximate-kNN join
+(selfclean/cleaner/near_duplicates/embedding_distance_mixin.py:92-127)
+builds a single-node angular index; the distributed analogs here are:
+
+* ``cosine_topk`` — exact brute-force top-k for a (small, broadcast)
+  query set: the baseline & oracle.  Dot products are native
+  ``aggregate(zip_with(...))`` expressions (JVM, no Python).
+* ``lsh_topk`` — random-hyperplane LSH (sign sketch, the vector
+  SimHash): bucket vectors by sign-pattern prefixes, search only
+  bucket collisions.  The scale path: candidate count per query is
+  ~N/2^bits per table instead of N.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.sql.types import ArrayType, LongType
+
+
+def _cosine(a: str, b: str) -> F.Column:
+    """Native cosine similarity between two array<float/double> cols."""
+    dot = F.expr(
+        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
+        " cast(0.0 as double), (acc, v) -> acc + v)"
+    )
+    na = F.sqrt(
+        F.expr(
+            f"aggregate({a}, cast(0.0 as double),"
+            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
+    nb = F.sqrt(
+        F.expr(
+            f"aggregate({b}, cast(0.0 as double),"
+            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
+        )
+    )
+    return dot / (na * nb)
+
+
+def cosine_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k cosine neighbors of every query vector.
+
+    ``queries`` is expected to be small (it is broadcast); the scan
+    side streams once — the classic broadcast-nested-loop kNN.  Ties
+    break on neighbor id (deterministic).
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "knn_rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def hyperplane_signatures(
+    embeddings: DataFrame,
+    dim: int,
+    n_bits: int = 16,
+    n_tables: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """(id, table_id, bucket) sign-sketch keys.
+
+    ``n_tables`` independent sets of ``n_bits`` random hyperplanes
+    (seeded Gaussian, tiny, captured in the UDF closure).  One Arrow
+    batch = one (B, dim) × (dim, T·bits) matmul + sign + bit-pack —
+    the whole sketch is a single vectorized pandas UDF call per batch
+    (per-hyperplane native lambdas blow up codegen: 60 nested
+    aggregate() expressions measured ~100× slower).
+    """
+    rng = np.random.default_rng(seed)
+    planes = rng.standard_normal((n_tables * n_bits, dim))  # (T*b, dim)
+    weights = (1 << np.arange(n_bits)).astype(np.int64)
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def bucket_arr(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)  # (B, dim)
+        signs = (mat @ planes.T) >= 0.0  # (B, T*bits)
+        packed = (
+            signs.reshape(len(mat), n_tables, n_bits) * weights[None, None, :]
+        ).sum(axis=2)
+        return pd.Series(list(packed.astype(np.int64)))
+
+    return embeddings.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(bucket_arr(F.col(vec_col))).alias("table_id", "bucket"),
+    )
+
+
+def lsh_topk(
+    embeddings: DataFrame,
+    k: int = 5,
+    n_bits: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int | None = None,
+) -> DataFrame:
+    """Approximate all-pairs top-k: vectors meet iff they share a
+    sign-sketch bucket in any table; exact cosine is computed only for
+    collisions.  Returns (query_id, knn_rank, neighbor_id, cosine)."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
+    sigs = hyperplane_signatures(
+        embeddings, dim, n_bits, n_tables, seed, id_col, vec_col
+    )
+    a = sigs.select("table_id", "bucket", F.col("id").alias("query_id"))
+    b = sigs.select("table_id", "bucket", F.col("id").alias("neighbor_id"))
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    scored = (
+        cand.join(vecs.select(F.col("id").alias("query_id"), F.col("vec").alias("qvec")), "query_id")
+        .join(vecs.select(F.col("id").alias("neighbor_id"), F.col("vec").alias("nvec")), "neighbor_id")
+        .withColumn("cosine", _cosine("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("query_id", "knn_rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def embedding_cosine_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_bits: int = 12,
+    n_tables: int = 6,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)
+    via the sign-sketch candidate join — the embedding-space analog of
+    the MinHash text path."""
+    dim = len(embeddings.select(vec_col).first()[0])
+    sigs = hyperplane_signatures(embeddings, dim, n_bits, n_tables, seed, id_col, vec_col)
+    a = sigs.select("table_id", "bucket", F.col("id").alias("id_a"))
+    b = sigs.select("table_id", "bucket", F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, ["table_id", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
+    return (
+        cand.join(vecs.select(F.col("id").alias("id_a"), F.col("vec").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("vec").alias("vb")), "id_b")
+        .withColumn("cosine", _cosine("va", "vb"))
+        .filter(F.col("cosine") >= threshold)
+        .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
+    )

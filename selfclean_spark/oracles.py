@@ -1,0 +1,177 @@
+"""ANSI-SQL oracle twins (DuckDB dialect) for the queries in
+``queries.py``.
+
+Shared contracts the two sides must honor bit-for-bit:
+
+* tokens = regexp-split on ``\\s+`` after trim (Spark ``split(trim(x),
+  '\\\\s+')`` ↔ DuckDB ``regexp_split_to_array(trim(x), '\\s+')``)
+* md5 of UTF-8 bytes, lowercase hex — identical builtins
+* doubles derived from integer arithmetic are bit-identical; genuinely
+  accumulated floats (averages, dot products) are computed in float64
+  on both sides and rounded before comparison
+* DuckDB ``sum(int)`` returns HUGEINT and ``row_number()`` BIGINT —
+  every count/rank is cast so schemas line up with Spark's LongType
+"""
+
+STOPWORDS_SQL = "['the','a','of','and','to','in','is','on','for','with']"
+
+ORACLES: dict[str, str] = {}
+
+ORACLES["exact_dup_groups"] = """
+SELECT md5(text) AS content_md5,
+       count(*)::BIGINT AS dup_count,
+       min(doc_id) AS representative
+FROM documents
+GROUP BY 1
+HAVING count(*) > 1
+"""
+
+ORACLES["exact_components"] = """
+SELECT doc_id AS id,
+       min(doc_id) OVER (PARTITION BY md5(text)) AS component_id
+FROM documents
+"""
+
+ORACLES["fingerprint_docs"] = """
+SELECT doc_id,
+       md5(lower(regexp_replace(trim(text), '\\s+', ' ', 'g'))) AS fingerprint
+FROM documents
+"""
+
+ORACLES["ngram_jaccard_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+), shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM shingled GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM shingled a JOIN shingled b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.1
+"""
+
+ORACLES["token_jaccard_pairs"] = """
+WITH postings AS (
+  SELECT doc_id,
+         unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
+  FROM documents
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n_tok FROM postings GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS n_common
+  FROM postings a JOIN postings b USING (tok)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       round(n_common::DOUBLE / (sa.n_tok + sb.n_tok - n_common), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE n_common::DOUBLE / (sa.n_tok + sb.n_tok - n_common) >= 0.98
+"""
+
+ORACLES["doc_stats"] = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+)
+SELECT doc_id,
+       (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::BIGINT AS token_cnt,
+       round(list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks), 6) AS avg_token_len,
+       round(length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text), 6) AS punct_ratio,
+       round(len(list_filter(toks, x -> list_contains({STOPWORDS_SQL}, lower(x))))::DOUBLE / len(toks), 6) AS stopword_ratio
+FROM t
+"""
+
+ORACLES["quality_by_source"] = f"""
+WITH t AS (
+  SELECT source, text, regexp_split_to_array(trim(text), '\\s+') AS toks
+  FROM documents
+), per_doc AS (
+  SELECT source,
+         (CASE WHEN length(trim(text)) = 0 THEN 0 ELSE len(toks) END)::DOUBLE AS tc,
+         length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g'))::DOUBLE / length(text) AS punct,
+         list_sum(list_transform(toks, x -> length(x)))::DOUBLE / len(toks) AS atl
+  FROM t
+), scored AS (
+  SELECT source,
+         0.4 * least(tc / 100.0, 1.0)
+       + 0.3 * (1.0 - least(punct * 5.0, 1.0))
+       + 0.3 * (CASE WHEN atl >= 3.0 AND atl <= 10.0 THEN 1.0 ELSE 0.5 END) AS q
+  FROM per_doc
+)
+SELECT source, count(*)::BIGINT AS n_docs, round(avg(q), 4) AS avg_quality
+FROM scored GROUP BY 1
+"""
+
+ORACLES["lang_id_counts"] = f"""
+WITH t AS (
+  SELECT len(list_filter(regexp_split_to_array(trim(text), '\\s+'),
+                         x -> list_contains({STOPWORDS_SQL}, lower(x)))) AS en_hits
+  FROM documents
+)
+SELECT CASE WHEN en_hits >= 2 THEN 'en' ELSE 'unknown' END AS predicted_lang,
+       count(*)::BIGINT AS n_docs
+FROM t GROUP BY 1
+"""
+
+ORACLES["cosine_topk"] = """
+WITH q AS (
+  SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 10
+), c AS (
+  SELECT vec_id AS neighbor_id, embedding::DOUBLE[] AS nv FROM embeddings
+), scored AS (
+  SELECT query_id, neighbor_id,
+         list_dot_product(qv, nv)
+           / (sqrt(list_dot_product(qv, qv)) * sqrt(list_dot_product(nv, nv))) AS cos_raw
+  FROM c, q
+  WHERE query_id <> neighbor_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk::BIGINT AS knn_rank, neighbor_id, round(cos_raw, 6) AS cosine
+FROM ranked WHERE rk <= 5
+"""
+
+ORACLES["embedding_norms"] = """
+SELECT vec_id, label,
+       round(sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[])), 6) AS l2_norm
+FROM embeddings
+"""
+
+ORACLES["tpch_q1"] = """
+SELECT l_returnflag, l_linestatus,
+       sum(l_quantity) AS sum_qty,
+       round(sum(l_extendedprice), 2) AS sum_base_price,
+       round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+       round(avg(l_quantity), 6) AS avg_qty,
+       round(avg(l_discount), 6) AS avg_disc,
+       count(*)::BIGINT AS count_order
+FROM lineitem
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
+ORACLES["events_hourly"] = """
+SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
+       event_type,
+       count(*)::BIGINT AS n_events,
+       round(avg(value), 6) AS avg_value
+FROM events
+GROUP BY 1, 2
+"""

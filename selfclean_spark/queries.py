@@ -1,0 +1,280 @@
+"""Named queries over the driver testdata tables — the public query
+surface declared in ``__spark_entry__.py``.
+
+Each function takes (spark, sf_dir) and returns a DataFrame; for the
+SQL-expressible ones an exact ANSI-SQL oracle twin lives in
+``oracles.py`` (run by the driver through DuckDB).  Column names and
+types are aligned pairwise (the driver hash-compares values after
+sorting columns by name).
+
+The corpus queries treat ``documents(doc_id, text, lang, source,
+n_chars)`` as the text corpus; ``embeddings(vec_id, embedding, label)``
+is the vector table; ``lineitem``/``events`` exercise the generic OLAP
+surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from selfclean_spark.config import PipelineConfig, SignatureConfig
+from selfclean_spark.functions import text as T
+from selfclean_spark.operators import dedup as D
+from selfclean_spark.operators import ranking as rank_ops
+from selfclean_spark.operators import signatures as sig_ops
+from selfclean_spark.operators import similarity as S
+
+# Token-mode signature config for the documents corpus (its planted
+# near-dups are token-level edits; vocab is tiny so char-grams blur).
+DOCS_CFG = PipelineConfig(
+    signature=SignatureConfig(shingle_mode="token", shingle_w=3),
+    jaccard_threshold=0.5,
+    check_substring=False,
+)
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# --------------------------------------------------------------------------
+# Exact dedup family (oracle-checked)
+# --------------------------------------------------------------------------
+
+def exact_dup_groups(spark, sf_dir):
+    return D.exact_dup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def exact_components(spark, sf_dir):
+    return D.exact_components(_t(spark, sf_dir, "documents"), "doc_id", "text")
+
+
+def fingerprint_docs(spark, sf_dir):
+    """Per-doc normalized fingerprint (formatting-insensitive dedup key)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id", T.fingerprint("text").alias("fingerprint")
+    )
+
+
+def ngram_jaccard_pairs(spark, sf_dir):
+    """Token 3-gram Jaccard near-dup pairs (exact, inverted-index join).
+
+    Shared contract with the oracle: shingles are distinct
+    space-joined token triples; jaccard = |∩| / |∪|; τ = 0.1.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    )
+    shingled = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - 2),
+                    lambda i: F.concat_ws(
+                        " ",
+                        F.element_at("t", i),
+                        F.element_at("t", i + 1),
+                        F.element_at("t", i + 2),
+                    ),
+                )
+            )
+        ).alias("sh"),
+    )
+    sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    a = shingled.select(F.col("doc_id").alias("id_a"), "sh")
+    b = shingled.select(F.col("doc_id").alias("id_b"), "sh")
+    common = (
+        a.join(b, "sh")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sizes.select(F.col("doc_id").alias("id_a"), F.col("n").alias("n_a")), "id_a")
+        .join(sizes.select(F.col("doc_id").alias("id_b"), F.col("n").alias("n_b")), "id_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+        .filter(F.col("jaccard") >= 0.1)
+        .select("id_a", "id_b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+def token_jaccard_pairs(spark, sf_dir):
+    """Token-SET (1-gram) Jaccard pairs at τ=0.98 — the degenerate
+    small-vocab case; exercises the df-capped inverted index."""
+    d = _t(spark, sf_dir, "documents")
+    return D.token_jaccard_pairs(d, "doc_id", "text", threshold=0.98).select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    )
+
+
+# --------------------------------------------------------------------------
+# Text analysis (oracle-checked)
+# --------------------------------------------------------------------------
+
+def doc_stats(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        T.token_count("text").cast("long").alias("token_cnt"),
+        F.round(T.avg_token_len("text"), 6).alias("avg_token_len"),
+        F.round(T.punct_ratio("text"), 6).alias("punct_ratio"),
+        F.round(T.stopword_ratio("text"), 6).alias("stopword_ratio"),
+    )
+
+
+def quality_by_source(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select("source", T.quality_score("text").alias("q"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.round(F.avg("q"), 4).alias("avg_quality"),
+        )
+    )
+
+
+def lang_id_counts(spark, sf_dir):
+    """Stopword-hit language-ID heuristic, aggregated."""
+    d = _t(spark, sf_dir, "documents")
+    toks = F.split(F.trim("text"), r"\s+")
+    en_hits = F.size(F.filter(toks, lambda t: F.lower(t).isin(T.STOPWORDS)))
+    predicted = F.when(en_hits >= 2, F.lit("en")).otherwise(F.lit("unknown"))
+    return (
+        d.select(predicted.alias("predicted_lang"))
+        .groupBy("predicted_lang")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+
+
+# --------------------------------------------------------------------------
+# Vector similarity (oracle-checked where float-stable)
+# --------------------------------------------------------------------------
+
+def cosine_topk(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    res = S.cosine_topk(e, q, k=5)
+    return res.select(
+        "query_id", F.col("knn_rank").cast("long").alias("knn_rank"),
+        "neighbor_id", "cosine",
+    )
+
+
+def embedding_norms(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    norm = F.sqrt(
+        F.aggregate(
+            "embedding",
+            F.lit(0.0),
+            lambda acc, v: acc + v.cast("double") * v.cast("double"),
+        )
+    )
+    return e.select("vec_id", "label", F.round(norm, 6).alias("l2_norm"))
+
+
+# --------------------------------------------------------------------------
+# Generic OLAP surface (oracle-checked)
+# --------------------------------------------------------------------------
+
+def tpch_q1(spark, sf_dir):
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.sum("l_quantity").alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("sum_disc_price"),
+            F.round(F.avg("l_quantity"), 6).alias("avg_qty"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def events_hourly(spark, sf_dir):
+    ev = _t(spark, sf_dir, "events")
+    hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
+    return (
+        ev.groupBy(hour.alias("hour"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.avg("value"), 6).alias("avg_value"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Sketch pipeline over the documents corpus (rows-only checks: the
+# MinHash/SimHash mechanisms are not ANSI-SQL-expressible; their
+# correctness gate is the pytest oracle-recall suite)
+# --------------------------------------------------------------------------
+
+def minhash_verified_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    return edges.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
+        "hamming", F.round("dist", 6).alias("dist"),
+    ).orderBy("id_a", "id_b")
+
+
+def minhash_components(spark, sf_dir):
+    from selfclean_spark.operators import components as comp_ops
+
+    d = _t(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    comps, _ = comp_ops.connected_components(edges.select("id_a", "id_b"))
+    universe = d.select(F.col("doc_id").alias("id"))
+    return comp_ops.with_singletons(comps, universe)
+
+
+def simhash_near_pairs(spark, sf_dir):
+    d = _t(spark, sf_dir, "documents")
+    return D.simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=8, cfg=DOCS_CFG.signature
+    ).orderBy("id_a", "id_b")
+
+
+def isolation_ranking(spark, sf_dir):
+    """Anchor-distance isolation (off-topic analog) over documents."""
+    d = _t(spark, sf_dir, "documents")
+    std = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("content"),
+        F.sha2("text", 256).alias("content_sha"),
+    )
+    sigs = sig_ops.compute_signatures(std, DOCS_CFG.signature)
+    meta = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("lang"),
+    )
+    return rank_ops.isolation_ranking(sigs, meta, n_anchors=64).select(
+        "rank", "id", F.round("score", 6).alias("score")
+    )
+
+
+def lsh_topk_ann(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.lsh_topk(e, k=5, n_bits=10, n_tables=6).select(
+        "query_id", F.col("knn_rank").cast("long").alias("knn_rank"),
+        "neighbor_id", "cosine",
+    )
+
+
+def embedding_dup_pairs(spark, sf_dir):
+    e = _t(spark, sf_dir, "embeddings")
+    return S.embedding_cosine_dup_pairs(e, threshold=0.95)

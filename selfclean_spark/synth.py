@@ -164,6 +164,87 @@ def generate_code_files(
     return SynthTables(code_files=code_files, truth=truth_df)
 
 
+def synth_code_files_spark(
+    spark,
+    n_rows: int,
+    seed: int = 42,
+    dup_fraction: float = 0.35,
+    n_orgs: int = 7,
+    n_repos: int = 29,
+    partitions: int | None = None,
+):
+    """Distributed deterministic generator for bench-scale corpora
+    (10^5–10^6 rows): content is a pure function of the row index, so
+    the table is identical at any partitioning/parallelism — the
+    precondition for the local[8]-vs-local[32] scaling evidence.
+
+    Planted structure mirrors :func:`generate_code_files`: row indices
+    below ``n_rows * dup_fraction`` belong to duplicate groups of 3
+    (exact clone / near clone cycling by group), the rest are
+    independent background rows.  Returns a DataFrame with the
+    ``code_files`` schema plus a ``truth_group`` column (drop it before
+    feeding the pipeline; keep it for recall spot-checks).
+    """
+    from pyspark.sql import functions as F
+    from pyspark.sql.types import (
+        LongType,
+        StringType,
+        StructField,
+        StructType,
+    )
+
+    schema = StructType(
+        [
+            StructField("repo", StringType(), False),
+            StructField("path", StringType(), False),
+            StructField("commit", StringType(), False),
+            StructField("lang", StringType(), False),
+            StructField("content", StringType(), False),
+            StructField("truth_group", LongType(), False),
+        ]
+    )
+    n_planted = int(n_rows * dup_fraction)
+    group_size = 3
+
+    def gen(batches):
+        import numpy as np  # noqa: PLC0415 — executor-side import
+        import pandas as pd  # noqa: PLC0415
+
+        for pdf in batches:
+            out = {k: [] for k in ("repo", "path", "commit", "lang", "content", "truth_group")}
+            for idx in pdf["id"].to_numpy():
+                idx = int(idx)
+                if idx < n_planted:
+                    group = idx // group_size
+                    member = idx % group_size
+                else:
+                    group = -1
+                    member = 0
+                # content derives from the GROUP (clones share a base)
+                content_seed = (seed << 20) ^ (group if group >= 0 else (1 << 40) + idx)
+                rng = np.random.default_rng(content_seed)
+                lang = LANGS[int(rng.integers(0, len(LANGS)))]
+                base = _gen_content(rng, lang, int(rng.integers(150, 900)))
+                if group >= 0 and member > 0 and group % 2 == 1:
+                    # near clone: deterministic per-member edits
+                    mrng = np.random.default_rng(content_seed + member)
+                    content = _mutate(mrng, base, int(mrng.integers(1, 5)))
+                else:
+                    content = base  # exact clone (or base/background row)
+                repo = f"org{int(rng.zipf(1.6)) % n_orgs}/repo{int(rng.zipf(1.4)) % n_repos}"
+                out["repo"].append(repo)
+                out["path"].append(f"src/m{idx % 13}/f_{idx}.{_EXT[lang]}")
+                out["commit"].append(hashlib.sha1(f"{repo}:{seed}".encode()).hexdigest()[:12])
+                out["lang"].append(lang)
+                out["content"].append(content)
+                out["truth_group"].append(group)
+            yield pd.DataFrame(out)
+
+    parts = partitions or max(32, n_rows // 4000)
+    base = spark.range(0, n_rows, numPartitions=parts)
+    return base.mapInPandas(gen, schema=schema)
+
+
 def write_parquet(tables: SynthTables, out_dir: str) -> tuple[str, str]:
     """Materialize fixture tables; returns (code_files_path, truth_path)."""
     import os

@@ -1,0 +1,35 @@
+"""Driver-contract smoke: entry() runs at sf0.001 and every queries()
+entry runs at sf0.001 with a stable schema; oracle_sql() keys ⊆
+queries() keys."""
+
+import os
+import sys
+
+import pytest
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import __spark_entry__ as entry_mod  # noqa: E402
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+def test_entry_returns_rows(spark):
+    df = entry_mod.entry(spark)
+    assert df.count() >= 0
+    assert set(df.columns) == {"id", "component_id"}
+
+
+def test_oracle_keys_subset():
+    qs = entry_mod.queries()
+    oracles = entry_mod.oracle_sql()
+    assert set(oracles) <= set(qs)
+    assert len(qs) >= 15
+
+
+@pytest.mark.parametrize("name", sorted(entry_mod.queries()))
+def test_query_runs(spark, name):
+    fn = entry_mod.queries()[name]
+    df = fn(spark, SF_DIR)
+    assert df.count() >= 0
+    assert len(df.columns) > 0

@@ -1,0 +1,103 @@
+"""Checkpoint/resume semantics (north rule: any run resumable
+mid-pipeline; re-run reproduces byte-identical final clusters).
+
+≙ the reference's memmap resume behavior (selfclean_cleaner.py:105-114
+re-opens existing .dat files) and its idempotent double-predict test
+(tests/unittests/cleaner/test_selfclean_cleaner.py:60-72).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfclean_spark.catalog import ParquetCatalog
+from selfclean_spark.config import PipelineConfig, SignatureConfig
+from selfclean_spark.plans.pipeline import STAGES, DedupPipeline
+from selfclean_spark.synth import generate_code_files
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    return generate_code_files(n_rows=150, seed=99)
+
+
+def _components_pdf(manager):
+    return (
+        manager["components"].orderBy("id").toPandas()
+    )
+
+
+def test_mid_pipeline_kill_and_resume(spark, corpus, tmp_path):
+    root = str(tmp_path / "ckpt")
+    code_files = spark.createDataFrame(corpus.code_files)
+    catalog = ParquetCatalog(spark, root)
+    pipe = DedupPipeline(spark, catalog, PipelineConfig())
+    first = _components_pdf(pipe.run(code_files))
+
+    # simulate a crash after stage 2: drop everything downstream
+    for stage in ("candidates", "verified_edges", "components"):
+        catalog.drop(stage)
+    assert not catalog.exists("candidates")
+    assert catalog.exists("signatures")
+
+    resumed = _components_pdf(pipe.run(code_files))
+    assert first.equals(resumed), "resume must reproduce byte-identical clusters"
+
+
+def test_completed_stages_skipped(spark, corpus, tmp_path):
+    root = str(tmp_path / "ckpt2")
+    code_files = spark.createDataFrame(corpus.code_files)
+    catalog = ParquetCatalog(spark, root)
+    pipe = DedupPipeline(spark, catalog, PipelineConfig())
+    pipe.run(code_files)
+    metrics_after_first = len(catalog.all_metrics())
+    assert metrics_after_first == len(STAGES)
+    pipe.run(code_files)
+    # a full resume writes no new stage metrics
+    assert len(catalog.all_metrics()) == metrics_after_first
+
+
+def test_config_change_invalidates_checkpoints(spark, corpus, tmp_path):
+    root = str(tmp_path / "ckpt3")
+    code_files = spark.createDataFrame(corpus.code_files)
+    catalog = ParquetCatalog(spark, root)
+    DedupPipeline(spark, catalog, PipelineConfig()).run(code_files)
+    other = PipelineConfig(signature=SignatureConfig(shingle_k=7))
+    assert not catalog.exists("signatures", other.config_hash())
+    assert catalog.exists("signatures", PipelineConfig().config_hash())
+
+
+def test_stage_metrics_recorded(spark, corpus, tmp_path):
+    root = str(tmp_path / "ckpt4")
+    code_files = spark.createDataFrame(corpus.code_files)
+    catalog = ParquetCatalog(spark, root)
+    DedupPipeline(spark, catalog, PipelineConfig()).run(code_files)
+    metrics = catalog.all_metrics()
+    stages = [m["stage"] for m in metrics]
+    assert stages == STAGES
+    for m in metrics:
+        assert m["rows_out"] >= 0
+        assert m["skew_ratio"] >= 1.0 or m["rows_out"] == 0
+        assert m["config_hash"] == PipelineConfig().config_hash()
+        assert m["finished_at"] >= m["started_at"]
+
+
+def test_determinism_across_runs(spark, corpus, tmp_path):
+    """Two independent catalogs, same input ⇒ identical edges+clusters
+    (precondition for the local[8]-vs-local[32] scaling evidence)."""
+    code_files = spark.createDataFrame(corpus.code_files)
+    outs = []
+    for sub in ("a", "b"):
+        pipe = DedupPipeline(
+            spark, ParquetCatalog(spark, str(tmp_path / sub)), PipelineConfig()
+        )
+        manager = pipe.run(code_files)
+        edges = (
+            manager["verified_edges"]
+            .select("id_a", "id_b", "jaccard")
+            .orderBy("id_a", "id_b")
+            .toPandas()
+        )
+        comps = _components_pdf(manager)
+        outs.append((edges, comps))
+    assert outs[0][0].equals(outs[1][0])
+    assert outs[0][1].equals(outs[1][1])
