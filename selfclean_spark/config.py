@@ -61,6 +61,12 @@ class PipelineConfig:
     # SimHash pre-filter: candidate pairs whose fingerprints differ in
     # more than this many bits skip exact verification (cheap reject).
     max_hamming: int = 16
+    # Require a pair to collide in >= this many LSH bands.  At the
+    # reference operating point (b=32, r=4, tau=0.8) P[>=2 hits | s=0.8]
+    # ~ 1 - 1e-6, while corpora whose *unrelated* pairs sit at Jaccard
+    # 0.1-0.2 see ~100x fewer junk candidates (P[>=2] ~ C(32,2)q^2 for
+    # q = s^4).  Verbatim duplicates bypass this via the sha fast path.
+    min_bands_hit: int = 2
     # Substring confirmation via per-partition suffix-array kernel.
     check_substring: bool = True
     # Connected-components iteration bound (log2 diameter backstop).

@@ -46,14 +46,15 @@ def suffix_array(data: bytes) -> np.ndarray:
     return order
 
 
-def contains_via_suffix_array(haystack: bytes, needle: bytes) -> bool:
-    """Exact substring test: binary-search ``needle`` in the suffix
-    array of ``haystack``.  O(|needle| · log |haystack|)."""
+def sa_contains(haystack: bytes, sa: np.ndarray, needle: bytes) -> bool:
+    """Binary-search ``needle`` against a prebuilt suffix array of
+    ``haystack``.  O(|needle| · log |haystack|) — build the array once
+    per document (per-batch cache in the verify stage), search once per
+    candidate pair."""
     if len(needle) == 0:
         return True
     if len(needle) > len(haystack):
         return False
-    sa = suffix_array(haystack)
     lo, hi = 0, len(sa)
     m = len(needle)
     while lo < hi:
@@ -67,6 +68,15 @@ def contains_via_suffix_array(haystack: bytes, needle: bytes) -> bool:
         return False
     start = sa[lo]
     return haystack[start : start + m] == needle
+
+
+def contains_via_suffix_array(haystack: bytes, needle: bytes) -> bool:
+    """Exact substring test with a one-shot suffix-array build."""
+    if len(needle) == 0:
+        return True
+    if len(needle) > len(haystack):
+        return False
+    return sa_contains(haystack, suffix_array(haystack), needle)
 
 
 def is_substring_pair(a: str, b: str) -> bool:

@@ -112,6 +112,90 @@ def isolation_ranking(
     )
 
 
+def lad_offtopic_ranking(
+    signatures: DataFrame, metadata: DataFrame, n_sample: int = 2000
+) -> DataFrame:
+    """The reference's actual off-topic scorer — single-linkage + LAD
+    sweep (lad_mixin.py:16-34, lad_scoring.py:28-208) — on a
+    deterministic driver-side sample (SURVEY.md A8: full dendrograms
+    are sequential; run them on ≤10⁴ sampled rows only, the distributed
+    path is :func:`isolation_ranking`).
+
+    Pairwise distances are MinHash-estimated (1 − agreement fraction):
+    one (S, P) == (S, P) tensor compare on the driver, S = sample size.
+    Emission order of the sweep IS the ranking (rank 1 = most isolated).
+    """
+    from selfclean_spark.functions.linkage import lad_ranking
+
+    sample = (
+        signatures.select("id", "minhash")
+        .orderBy(F.xxhash64("id"))
+        .limit(n_sample)
+        .collect()
+    )
+    ids = np.array([r["id"] for r in sample], dtype=np.int64)
+    sigs = np.array([r["minhash"] for r in sample], dtype=np.int64)  # (S, P)
+    agree = (sigs[:, None, :] == sigs[None, :, :]).mean(axis=2)
+    dist = 1.0 - agree
+    np.fill_diagonal(dist, 0.0)
+    scores, order = lad_ranking(dist)
+    spark = signatures.sparkSession
+    ranked = spark.createDataFrame(
+        [
+            (int(rank + 1), int(ids[idx]), float(score))
+            for rank, (score, idx) in enumerate(zip(scores, order))
+        ],
+        "rank int, id long, score double",
+    )
+    return ranked.join(metadata.select("id", "repo", "path", "lang"), "id").select(
+        "rank", "id", "score", "repo", "path", "lang"
+    ).orderBy("rank")
+
+
+def quantile_isolation_ranking(
+    verified: DataFrame, universe: DataFrame, q: float = 0.01
+) -> DataFrame:
+    """The reference's alternative off-topic scorer — per-row distance
+    quantile (quantile_off_topic_mixin.py:15 ``np.quantile(dist_matrix,
+    q, axis=0)``, sorted desc :17-21) — over verified-edge distances.
+    Rows with no edges take the max distance 1.0 (they are maximally
+    isolated w.r.t. everything the engine asserted)."""
+    per_node = verified.select(F.col("id_a").alias("id"), "dist").union(
+        verified.select(F.col("id_b").alias("id"), "dist")
+    )
+    agg = per_node.groupBy("id").agg(
+        F.expr(f"percentile(dist, {q})").alias("score")
+    )
+    scored = (
+        universe.select("id")
+        .join(agg, "id", "left")
+        .select("id", F.coalesce("score", F.lit(1.0)).alias("score"))
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    return scored.withColumn("rank", F.row_number().over(w)).select(
+        "rank", "id", "score"
+    )
+
+
+def knn_edges(verified: DataFrame, k: int = 10) -> DataFrame:
+    """Per-item k nearest neighbors over verified edges — the analog of
+    the reference's Annoy per-item top-k (embedding_distance_mixin.py:
+    107-115 ``get_nns_by_item``), as a window over the pair table."""
+    per_node = verified.select(
+        F.col("id_a").alias("id"), F.col("id_b").alias("neighbor_id"), "dist"
+    ).union(
+        verified.select(
+            F.col("id_b").alias("id"), F.col("id_a").alias("neighbor_id"), "dist"
+        )
+    )
+    w = Window.partitionBy("id").orderBy(F.col("dist").asc(), F.col("neighbor_id").asc())
+    return (
+        per_node.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select("id", "knn_rank", "neighbor_id", "dist")
+    )
+
+
 def lang_mismatch_ranking(verified: DataFrame, metadata: DataFrame) -> DataFrame:
     """Intra/extra-distance label-error analog over verified edges.
 

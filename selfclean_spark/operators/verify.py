@@ -47,7 +47,7 @@ from pyspark.sql.types import (
 
 from selfclean_spark.config import PipelineConfig
 from selfclean_spark.functions import sketches
-from selfclean_spark.functions.suffix import is_substring_pair
+from selfclean_spark.functions.suffix import sa_contains, suffix_array
 
 VERIFIED_SCHEMA = StructType(
     [
@@ -137,6 +137,8 @@ def verify_candidates(
     check_sub = cfg.check_substring
 
     def verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # per-batch caches: shingle once per doc, suffix-array once per
+        # unique haystack (a doc in k candidate pairs pays each cost once)
         for pdf in batches:
             n = len(pdf)
             jac = np.empty(n, dtype=np.float64)
@@ -145,16 +147,42 @@ def verify_candidates(
             cb = pdf["content_b"].to_numpy()
             sha_a = pdf["sha_a"].to_numpy()
             sha_b = pdf["sha_b"].to_numpy()
+            shingle_cache: dict[str, np.ndarray] = {}
+            sa_cache: dict[str, np.ndarray] = {}
+
+            def shingles_of(sha: str, text: str) -> np.ndarray:
+                s = shingle_cache.get(sha)
+                if s is None:
+                    s = shingle_cache[sha] = sketches.shingle(text, sig_cfg)
+                return s
+
             for i in range(n):
                 if sha_a[i] == sha_b[i]:
                     jac[i] = 1.0
                     sub[i] = True
                     continue
-                sa = sketches.shingle(ca[i], sig_cfg)
-                sb = sketches.shingle(cb[i], sig_cfg)
-                jac[i] = sketches.exact_jaccard(sa, sb)
-                if check_sub:
-                    sub[i] = is_substring_pair(ca[i], cb[i])
+                sa = shingles_of(sha_a[i], ca[i])
+                sb = shingles_of(sha_b[i], cb[i])
+                inter = np.intersect1d(sa, sb, assume_unique=True).size
+                union = sa.size + sb.size - inter
+                jac[i] = inter / union if union else 1.0
+                if not check_sub or jac[i] >= tau:
+                    continue  # already an edge (or confirm disabled)
+                # rescue path: suffix-array containment confirm, gated
+                # by shingle containment (a true substring pair has
+                # essentially all inner shingles inside the outer doc)
+                containment = inter / min(sa.size, sb.size)
+                if containment < 0.9:
+                    continue
+                inner, outer = (ca[i], cb[i]) if len(ca[i]) <= len(cb[i]) else (cb[i], ca[i])
+                outer_sha = sha_b[i] if len(ca[i]) <= len(cb[i]) else sha_a[i]
+                hay = outer.encode("utf-8", "surrogatepass")
+                sarr = sa_cache.get(outer_sha)
+                if sarr is None:
+                    sarr = sa_cache[outer_sha] = suffix_array(hay)
+                sub[i] = sa_contains(
+                    hay, sarr, inner.encode("utf-8", "surrogatepass")
+                )
             out = pdf.drop(columns=["content_a", "content_b"]).copy()
             out["jaccard"] = jac
             out["substring"] = sub

@@ -69,19 +69,24 @@ class DedupPipeline:
             return 0
 
     @staticmethod
-    def _skew_ratio(df: DataFrame, key_cols: list[str]) -> float:
-        """max/avg rows per key — the skew number the north rule asks for."""
+    def _rows_and_skew(df: DataFrame, key_cols: list[str]) -> tuple[int, float]:
+        """(row count, max/avg rows per key) in ONE aggregation job —
+        the skew number the north rule asks for, without a second scan."""
         if not key_cols:
-            return 1.0
+            return df.count(), 1.0
         stats = (
             df.groupBy(*key_cols)
             .count()
-            .agg(F.max("count").alias("mx"), F.avg("count").alias("av"))
+            .agg(
+                F.sum("count").alias("total"),
+                F.max("count").alias("mx"),
+                F.avg("count").alias("av"),
+            )
             .collect()[0]
         )
         if not stats["av"]:
-            return 1.0
-        return float(stats["mx"]) / float(stats["av"])
+            return 0, 1.0
+        return int(stats["total"]), float(stats["mx"]) / float(stats["av"])
 
     def _run_stage(
         self,
@@ -96,7 +101,6 @@ class DedupPipeline:
             return self.catalog.read(name)
         started = now()
         df, extra, skew_keys = build()
-        skew = self._skew_ratio(df, skew_keys) if skew_keys else 1.0
         shuffle_before = self._shuffle_bytes()
         out = self.catalog.write(
             name,
@@ -104,8 +108,8 @@ class DedupPipeline:
             StageMetrics(
                 stage=name,
                 rows_in=rows_in,
-                rows_out=-1,  # patched below (count after write = one scan)
-                skew_ratio=skew,
+                rows_out=-1,  # patched below (stats job over the checkpoint)
+                skew_ratio=-1.0,
                 shuffle_bytes=shuffle_before,
                 config_hash=cfg_hash,
                 started_at=started,
@@ -113,10 +117,11 @@ class DedupPipeline:
                 extra=extra,
             ),
         )
-        rows_out = out.count()
+        rows_out, skew = self._rows_and_skew(out, skew_keys)
         manifest = self.catalog._load_manifest()
         manifest["stages"][name]["rows_out"] = rows_out
         manifest["metrics"][-1]["rows_out"] = rows_out
+        manifest["metrics"][-1]["skew_ratio"] = skew
         manifest["metrics"][-1]["finished_at"] = now()
         self.catalog._save_manifest(manifest)
         if name == "ingested":
@@ -129,7 +134,16 @@ class DedupPipeline:
 
     # -------------------------------------------------------------------- run
 
-    def run(self, code_files: DataFrame, force: bool = False) -> IssueManager:
+    def run(
+        self,
+        code_files: DataFrame,
+        force: bool = False,
+        issue_types: set[str] | None = None,
+    ) -> IssueManager:
+        """Run the pipeline; ``issue_types`` selects which rankings to
+        compute (≙ reference's per-issue dispatch,
+        selfclean_cleaner.py:191-213 / P6 in SURVEY.md §2.3).  Stages
+        0-5 always run (they feed every issue); None = all."""
         cfg = self.config
         if cfg.shuffle_partitions:
             self.spark.conf.set(
@@ -174,7 +188,8 @@ class DedupPipeline:
                 "n_bands_hit", F.lit(cfg.signature.lsh_bands)
             )
             all_pairs = (
-                pairs.unionByName(exact)
+                pairs.filter(F.col("n_bands_hit") >= cfg.min_bands_hit)
+                .unionByName(exact)
                 .groupBy("id_a", "id_b")
                 .agg(F.max("n_bands_hit").alias("n_bands_hit"))
             )
@@ -211,32 +226,42 @@ class DedupPipeline:
         )
 
         # stage 6: rankings --------------------------------------------------
+        wanted = issue_types or {
+            "near_duplicates", "off_topic_samples", "label_errors",
+        }
         manager = IssueManager()
-        near_dups = rank_ops.near_duplicate_ranking(verified, metadata)
-        isolation = rank_ops.isolation_ranking(signatures, metadata)
-        lang_mismatch = rank_ops.lang_mismatch_ranking(verified, metadata)
-
-        if cfg.auto_cleaning:
-            near_dups, nd_fit = fraction_cut(
-                near_dups, "dist", n_samples=n_input,
-                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q, pair_scores=True,
+        fits = {}
+        if "near_duplicates" in wanted:
+            near_dups = rank_ops.near_duplicate_ranking(verified, metadata)
+            if cfg.auto_cleaning:
+                near_dups, fits["near_duplicates"] = fraction_cut(
+                    near_dups, "dist", n_samples=n_input,
+                    alpha=cfg.cleaner_alpha, q=cfg.cleaner_q, pair_scores=True,
+                )
+            manager.register(IssueTypes.NEAR_DUPLICATES, near_dups)
+            manager.register("knn_edges", rank_ops.knn_edges(verified))
+        if "off_topic_samples" in wanted:
+            isolation = rank_ops.isolation_ranking(signatures, metadata)
+            if cfg.auto_cleaning:
+                isolation, fits["off_topic_samples"] = fraction_cut(
+                    isolation, "score", n_samples=n_input,
+                    alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
+                )
+            manager.register(IssueTypes.OFF_TOPIC_SAMPLES, isolation)
+            manager.register(
+                "quantile_isolation",
+                rank_ops.quantile_isolation_ranking(verified, ingested),
             )
-            isolation, iso_fit = fraction_cut(
-                isolation, "score", n_samples=n_input,
-                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
-            )
-            lang_mismatch, lm_fit = fraction_cut(
-                lang_mismatch, "score", n_samples=n_input,
-                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
-            )
-            manager.meta["fits"] = {
-                "near_duplicates": nd_fit, "off_topic_samples": iso_fit,
-                "label_errors": lm_fit,
-            }
-
-        manager.register(IssueTypes.NEAR_DUPLICATES, near_dups)
-        manager.register(IssueTypes.OFF_TOPIC_SAMPLES, isolation)
-        manager.register(IssueTypes.LABEL_ERRORS, lang_mismatch)
+        if "label_errors" in wanted:
+            lang_mismatch = rank_ops.lang_mismatch_ranking(verified, metadata)
+            if cfg.auto_cleaning:
+                lang_mismatch, fits["label_errors"] = fraction_cut(
+                    lang_mismatch, "score", n_samples=n_input,
+                    alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
+                )
+            manager.register(IssueTypes.LABEL_ERRORS, lang_mismatch)
+        if fits:
+            manager.meta["fits"] = fits
         manager.register(IssueTypes.COMPONENTS, components)
         manager.register("verified_edges", verified)
         manager.register("signatures", signatures)

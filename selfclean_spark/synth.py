@@ -49,7 +49,13 @@ class SynthTables:
 
 
 def _gen_content(rng: np.random.Generator, lang: str, n_tokens: int) -> str:
-    vocab = _VOCAB[lang] + _IDENT + _PUNCT
+    """Template source text: shared per-lang keywords/punctuation plus
+    per-document unique identifiers (real code shares keywords but
+    differs in identifiers/literals — without the unique tokens,
+    unrelated files sit at Jaccard ~0.3 and LSH candidate volume
+    explodes quadratically)."""
+    local_idents = [f"sym{int(rng.integers(0, 10**9)):x}" for _ in range(24)]
+    vocab = _VOCAB[lang] + _IDENT + _PUNCT + local_idents * 3
     toks = rng.choice(len(vocab), size=n_tokens)
     words = [vocab[t] for t in toks]
     lines, line = [], []
