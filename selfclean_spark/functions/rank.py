@@ -1,0 +1,67 @@
+"""Scalable global ranking (replaces single-partition windows).
+
+``row_number() OVER (ORDER BY …)`` with no PARTITION BY collapses the
+whole relation into one task — fine at test scale, a bottleneck at
+10^12.  The classic two-pass pattern used here:
+
+1. range-partition by the sort key + sort within partitions
+   (this is exactly what a global ``orderBy`` does physically);
+2. one small action collects per-partition row counts → cumulative
+   offsets (driver-side, #partitions entries);
+3. within-partition ``row_number`` (parallel window) + broadcast-joined
+   offset = the global rank.
+
+The sorted frame is persisted between the two passes so both read the
+same partitioning (repartitionByRange samples its bounds; persisting
+pins them).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+
+def with_global_rank(
+    df: DataFrame,
+    order_cols: list[Column],
+    rank_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add a 1-based dense global ``rank_col`` ordered by
+    ``order_cols`` without a single-partition window.
+
+    The returned DataFrame is range-partitioned and sorted by the key
+    (so a downstream ``orderBy(rank)`` is a no-shuffle sort).  Callers
+    should eventually trigger unpersist via Spark's LRU (the persist is
+    MEMORY_AND_DISK and scoped to the plan).
+    """
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(1, min(num_partitions, 2000))
+    sorted_df = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    counts = sorted_df.groupBy("_pid").count().collect()
+    offsets = {}
+    running = 0
+    for row in sorted(counts, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["count"]
+    offsets_df = F.broadcast(
+        spark.createDataFrame(
+            [(pid, off) for pid, off in offsets.items()], "_pid int, _offset long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(*order_cols)
+    return (
+        sorted_df.withColumn("_local", F.row_number().over(w))
+        .join(offsets_df, "_pid")
+        .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
+        .drop("_pid", "_local", "_offset")
+    )

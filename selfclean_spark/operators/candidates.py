@@ -43,32 +43,36 @@ _PAIR_EXPANSION = (
 )
 
 
-def _buckets(keyed: DataFrame, key_cols: list[str]) -> DataFrame:
-    return keyed.groupBy(*key_cols).agg(
-        F.sort_array(F.collect_list("id")).alias("ids")
-    ).withColumn("bucket_size", F.size("ids"))
-
-
 def candidate_pairs(
     bands: DataFrame,
     band_bucket_cap: int,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band_id, band_hash) → (candidate pairs, dropped-bucket log).
 
+    Hot-key safety: bucket sizes are counted FIRST (partial/map-side
+    aggregation handles arbitrarily hot keys), over-cap keys are
+    filtered out, and only then does ``collect_list`` materialize a
+    bucket — so a degenerate key (empty files, license boilerplate at
+    10^6 copies) can never pull a multi-GB list into one task.  The
+    size-filter join and the collect groupBy share the same key, so
+    Catalyst reuses the exchange (one shuffle of ``bands`` total).
+
     Returns
     -------
     pairs : DataFrame(id_a, id_b, n_bands_hit) with id_a < id_b, distinct.
     dropped : DataFrame(band_id, band_hash, bucket_size) — buckets over
-        the cap, for the stage-metrics sidecar.
+        the cap, for the stage-metrics sidecar (logged, never silent).
     """
-    buckets = _buckets(bands, ["band_id", "band_hash"]).persist()
-    dropped = buckets.filter(F.col("bucket_size") > band_bucket_cap).select(
-        "band_id", "band_hash", "bucket_size"
-    )
+    keys = ["band_id", "band_hash"]
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    dropped = sizes.filter(F.col("bucket_size") > band_bucket_cap)
+    eligible = sizes.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= band_bucket_cap)
+    ).select(*keys)
     pairs = (
-        buckets.filter(
-            (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= band_bucket_cap)
-        )
+        bands.join(eligible, keys, "inner")  # semi-shaped: eligible is distinct
+        .groupBy(*keys)
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
         .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
         .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")
@@ -77,19 +81,33 @@ def candidate_pairs(
     return pairs, dropped
 
 
-def exact_duplicate_pairs(ingested: DataFrame) -> DataFrame:
+def exact_duplicate_pairs(ingested: DataFrame, pair_cap: int = 200) -> DataFrame:
     """Verbatim duplicates via sha256 equality — the degenerate fast
     path (reference: planted exact duplicate must rank first with
     distance 0, tests/.../test_embedding_distance.py:22-40).
 
-    Same bucket-explode shape on the 256-bit digest: shuffles only
-    (sha, id); group sizes are dup-cluster sizes, so expansion is
-    bounded by real duplication, not by hash skew.
+    Groups of ≤ ``pair_cap`` members emit all m(m-1)/2 pairs (the full
+    ranking the reference asserts); larger groups — the 10^6-copy
+    boilerplate case — emit STAR edges (min-id → member) instead:
+    linear in group size, same connected components, and the ranking
+    still contains every member at distance 0 via its star edge.
     """
-    keyed = ingested.select("id", F.col("content_sha"))
-    return (
-        _buckets(keyed, ["content_sha"])
-        .filter(F.col("bucket_size") >= 2)
-        .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
-        .select("p.id_a", "p.id_b")
+    keyed = ingested.select("id", "content_sha")
+    sizes = keyed.groupBy("content_sha").agg(F.count(F.lit(1)).alias("n"))
+    dup_keys = sizes.filter(F.col("n") >= 2)
+    grouped = (
+        keyed.join(dup_keys, "content_sha", "inner")
+        .groupBy("content_sha", "n")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
     )
+    full = grouped.filter(F.col("n") <= pair_cap).select(
+        F.explode(F.expr(_PAIR_EXPANSION)).alias("p")
+    ).select("p.id_a", "p.id_b")
+    star = (
+        grouped.filter(F.col("n") > pair_cap)
+        .select(
+            F.element_at("ids", 1).alias("id_a"),
+            F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("id_b"),
+        )
+    )
+    return full.unionByName(star)

@@ -39,6 +39,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import DoubleType
 
 from selfclean_spark.functions import sketches
+from selfclean_spark.functions.rank import with_global_rank
 
 
 def near_duplicate_ranking(verified: DataFrame, metadata: DataFrame) -> DataFrame:
@@ -47,7 +48,6 @@ def near_duplicate_ranking(verified: DataFrame, metadata: DataFrame) -> DataFram
     Exact duplicates (dist 0) rank first — the reference's canonical
     planted-duplicate assertion (tests/.../test_embedding_distance.py:22-40).
     """
-    w = Window.orderBy(F.col("dist").asc(), F.col("id_a").asc(), F.col("id_b").asc())
     meta_a = metadata.select(
         F.col("id").alias("id_a"),
         F.col("repo").alias("repo_a"),
@@ -60,9 +60,12 @@ def near_duplicate_ranking(verified: DataFrame, metadata: DataFrame) -> DataFram
         F.col("path").alias("path_b"),
         F.col("lang").alias("lang_b"),
     )
+    ranked = with_global_rank(
+        verified.select("id_a", "id_b", "dist", "jaccard", "substring"),
+        [F.col("dist").asc(), F.col("id_a").asc(), F.col("id_b").asc()],
+    )
     return (
-        verified.select("id_a", "id_b", "dist", "jaccard", "substring")
-        .withColumn("rank", F.row_number().over(w))
+        ranked
         .join(meta_a, "id_a")
         .join(meta_b, "id_b")
         .select(
@@ -102,10 +105,12 @@ def isolation_ranking(
         agree = np.where(self_mask, -1.0, agree)
         return pd.Series(1.0 - agree.max(axis=1))
 
-    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
+    ranked = with_global_rank(
+        signatures.select("id", iso_score("id", "minhash").alias("score")),
+        [F.col("score").desc(), F.col("id").asc()],
+    )
     return (
-        signatures.select("id", iso_score("id", "minhash").alias("score"))
-        .withColumn("rank", F.row_number().over(w))
+        ranked
         .join(metadata.select("id", "repo", "path", "lang"), "id")
         .select("rank", "id", "score", "repo", "path", "lang")
         .orderBy("rank")
@@ -171,10 +176,9 @@ def quantile_isolation_ranking(
         .join(agg, "id", "left")
         .select("id", F.coalesce("score", F.lit(1.0)).alias("score"))
     )
-    w = Window.orderBy(F.col("score").desc(), F.col("id").asc())
-    return scored.withColumn("rank", F.row_number().over(w)).select(
-        "rank", "id", "score"
-    )
+    return with_global_rank(
+        scored, [F.col("score").desc(), F.col("id").asc()]
+    ).select("rank", "id", "score")
 
 
 def knn_edges(verified: DataFrame, k: int = 10) -> DataFrame:
@@ -229,9 +233,11 @@ def lang_mismatch_ranking(verified: DataFrame, metadata: DataFrame) -> DataFrame
         (F.col("min_extra") ** 2)
         / (F.col("min_intra") ** 2 + F.col("min_extra") ** 2),
     )
-    w = Window.orderBy(F.col("score").asc(), F.col("id").asc())
+    ranked = with_global_rank(
+        scored, [F.col("score").asc(), F.col("id").asc()]
+    )
     return (
-        scored.withColumn("rank", F.row_number().over(w))
+        ranked
         .join(metadata.select("id", "repo", "path", "lang"), "id")
         .select("rank", "id", "score", "min_intra", "min_extra", "repo", "path", "lang")
         .orderBy("rank")

@@ -184,7 +184,9 @@ class DedupPipeline:
                 )
             # exact-dup pairs (sha equality) are injected so capped hot
             # buckets can never lose verbatim duplicates
-            exact = cand_ops.exact_duplicate_pairs(ingested).withColumn(
+            exact = cand_ops.exact_duplicate_pairs(
+                ingested, pair_cap=cfg.band_bucket_cap
+            ).withColumn(
                 "n_bands_hit", F.lit(cfg.signature.lsh_bands)
             )
             all_pairs = (

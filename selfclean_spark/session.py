@@ -21,6 +21,11 @@ _DEFAULTS = {
     "spark.sql.adaptive.skewJoin.enabled": "true",
     "spark.sql.adaptive.coalescePartitions.enabled": "true",
     "spark.sql.shuffle.partitions": "32",
+    # split small checkpoint files aggressively so scan parallelism
+    # matches core count even on modest inputs (clusters override via
+    # spark-submit --conf; at petabyte scale the default 128m is right)
+    "spark.sql.files.maxPartitionBytes": "16m",
+    "spark.sql.files.openCostInBytes": "1m",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",

@@ -230,7 +230,9 @@ def synth_code_files_spark(
                 content_seed = (seed << 20) ^ (group if group >= 0 else (1 << 40) + idx)
                 rng = np.random.default_rng(content_seed)
                 lang = LANGS[int(rng.integers(0, len(LANGS)))]
-                base = _gen_content(rng, lang, int(rng.integers(150, 900)))
+                # realistic source-file sizes (~2-20 KB) so per-row kernel
+                # compute, not per-task overhead, dominates benchmarks
+                base = _gen_content(rng, lang, int(rng.integers(400, 3000)))
                 if group >= 0 and member > 0 and group % 2 == 1:
                     # near clone: deterministic per-member edits
                     mrng = np.random.default_rng(content_seed + member)

@@ -1,0 +1,49 @@
+"""Scalable-rank utility and hot-key cap behaviors."""
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfclean_spark.functions.rank import with_global_rank
+from selfclean_spark.operators.candidates import candidate_pairs, exact_duplicate_pairs
+
+
+def test_with_global_rank_matches_sort(spark):
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.xxhash64("id") % 1000).alias("score")
+    )
+    ranked = with_global_rank(df, [F.col("score").asc(), F.col("id").asc()])
+    pdf = ranked.orderBy("rank").toPandas()
+    assert list(pdf["rank"]) == list(range(1, 501))
+    resorted = pdf.sort_values(["score", "id"]).reset_index(drop=True)
+    assert list(resorted["rank"]) == list(range(1, 501))
+
+
+def test_with_global_rank_single_partition_input(spark):
+    df = spark.createDataFrame([(1, 5.0), (2, 1.0), (3, 3.0)], "id long, s double")
+    pdf = (
+        with_global_rank(df, [F.col("s").asc()]).orderBy("rank").toPandas()
+    )
+    assert list(pdf["id"]) == [2, 3, 1]
+
+
+def test_exact_dup_star_edges_for_giant_groups(spark):
+    """Groups above pair_cap emit linear star edges, not m² pairs."""
+    rows = [(i, "dup") for i in range(50)] + [(100, "uniq"), (200, "dup2"), (201, "dup2")]
+    df = spark.createDataFrame(rows, "id long, content string").withColumn(
+        "content_sha", F.sha2("content", 256)
+    )
+    pairs = exact_duplicate_pairs(df, pair_cap=10).collect()
+    dup_pairs = [(r.id_a, r.id_b) for r in pairs if r.id_a < 100]
+    # star: 49 edges from min id (0) instead of 50*49/2
+    assert len(dup_pairs) == 49
+    assert all(a == 0 for a, _ in dup_pairs)
+    assert (200, 201) in {(r.id_a, r.id_b) for r in pairs}
+
+
+def test_candidate_hot_bucket_dropped_and_logged(spark):
+    rows = [(i, 0, 7777) for i in range(30)] + [(100, 1, 42), (101, 1, 42)]
+    bands = spark.createDataFrame(rows, "id long, band_id int, band_hash long")
+    pairs, dropped = candidate_pairs(bands, band_bucket_cap=10)
+    assert pairs.count() == 1  # only the small bucket pairs up
+    d = dropped.collect()
+    assert len(d) == 1 and d[0].bucket_size == 30

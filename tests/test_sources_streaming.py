@@ -58,7 +58,7 @@ def test_read_code_files_parquet(spark, tmp_path):
     spark.createDataFrame(tables.code_files).write.parquet(p)
     df = read_code_files(spark, p)
     assert df.columns == ["repo", "path", "commit", "lang", "content"]
-    assert df.count() == 20
+    assert df.count() == len(tables.code_files)  # generator may overshoot
 
 
 def test_read_code_files_missing_column(spark, tmp_path):
