@@ -44,11 +44,13 @@ def ensure_corpus(n_rows: int, seed: int = 42) -> str:
     return path
 
 
-def run_once(corpus_path: str, cpus: int, tag: str) -> dict:
+def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32) -> dict:
+    """Identical shuffle partitioning for every parallelism level —
+    scaling must come from cores, not from a different physical plan."""
     spark = get_spark(
         f"bench-{tag}",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": str(max(cpus * 2, 16))},
+        extra_conf={"spark.sql.shuffle.partitions": str(shuffle_partitions)},
     )
     spark.sparkContext.setLogLevel("ERROR")
     code_files = spark.read.parquet(corpus_path)

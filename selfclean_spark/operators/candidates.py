@@ -64,7 +64,13 @@ def candidate_pairs(
         the cap, for the stage-metrics sidecar (logged, never silent).
     """
     keys = ["band_id", "band_hash"]
-    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    # persisted: the dropped-log action and the pairs plan both read it —
+    # without this, `bands` (posexplode over the signature scan) runs twice
+    sizes = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .persist()
+    )
     dropped = sizes.filter(F.col("bucket_size") > band_bucket_cap)
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= band_bucket_cap)
