@@ -31,16 +31,21 @@ class SignatureConfig:
     shingle_w: int = 3          # token w-shingle width (token mode)
     num_perm: int = 128         # MinHash permutations
     simhash_bits: int = 64      # SimHash fingerprint width (fixed: int64)
-    lsh_bands: int = 32         # LSH bands b
-    lsh_rows: int = 4           # rows per band r; b*r must equal num_perm
+    # Banding: b*r <= num_perm (first b*r signature positions are banded).
+    # Default r=5/b=25: P[candidate | s=0.8] = 1-(1-0.8^5)^25 ≈ 0.99995
+    # (≈0.9994 with min_bands_hit=2) while junk collisions at s≈0.15
+    # drop ~8x vs r=4/b=32 — self-similar corpora (license headers,
+    # templates) generate quadratic bucket volume otherwise.
+    lsh_bands: int = 25         # LSH bands b
+    lsh_rows: int = 5           # rows per band r
     seed: int = 42              # reference seeds 42 (selfclean_cleaner.py:52-60)
     lowercase: bool = False     # content normalization before shingling
     collapse_ws: bool = False   # fold runs of whitespace to single space
 
     def __post_init__(self) -> None:
-        if self.lsh_bands * self.lsh_rows != self.num_perm:
+        if self.lsh_bands * self.lsh_rows > self.num_perm:
             raise ValueError(
-                f"bands*rows ({self.lsh_bands}*{self.lsh_rows}) != num_perm ({self.num_perm})"
+                f"bands*rows ({self.lsh_bands}*{self.lsh_rows}) > num_perm ({self.num_perm})"
             )
         if self.shingle_mode not in ("char", "token"):
             raise ValueError(f"unknown shingle_mode {self.shingle_mode!r}")

@@ -28,7 +28,11 @@ from selfclean_spark.operators import similarity as S
 # Token-mode signature config for the documents corpus (its planted
 # near-dups are token-level edits; vocab is tiny so char-grams blur).
 DOCS_CFG = PipelineConfig(
-    signature=SignatureConfig(shingle_mode="token", shingle_w=3),
+    # r=4 banding: the documents corpus operates at tau=0.5 where the
+    # steeper default r=5 curve would cost recall
+    signature=SignatureConfig(
+        shingle_mode="token", shingle_w=3, lsh_bands=32, lsh_rows=4
+    ),
     jaccard_threshold=0.5,
     check_substring=False,
 )
