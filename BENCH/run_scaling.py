@@ -44,6 +44,13 @@ def ensure_corpus(n_rows: int, seed: int = 42) -> str:
     return path
 
 
+def _cpu_times() -> tuple[int, int, int]:
+    parts = open("/proc/stat").readline().split()
+    vals = list(map(int, parts[1:9]))
+    busy = sum(vals) - vals[3] - vals[4]  # minus idle, iowait
+    return vals[7], busy, sum(vals)  # steal, busy, total
+
+
 def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32) -> dict:
     """Identical shuffle partitioning for every parallelism level —
     scaling must come from cores, not from a different physical plan."""
@@ -58,11 +65,15 @@ def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32
     root = os.path.join(BENCH_DIR, f"ckpt_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     pipe = DedupPipeline(spark, ParquetCatalog(spark, root), PipelineConfig())
+    s0, b0, t0_cpu = _cpu_times()
     t0 = time.time()
     manager = pipe.run(code_files)
     n_edges = manager["verified_edges"].count()
     n_comp = manager["components"].select("component_id").distinct().count()
     wall = time.time() - t0
+    s1, b1, t1_cpu = _cpu_times()
+    steal_frac = (s1 - s0) / max(1, t1_cpu - t0_cpu)
+    cores_busy = (b1 - b0) / max(1, t1_cpu - t0_cpu) * 32
     comp_hash = (
         manager["components"]
         .selectExpr("bit_xor(xxhash64(id, component_id)) as h", "count(*) as n")
@@ -77,6 +88,8 @@ def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32
         "verified_edges": n_edges,
         "components": n_comp,
         "components_fingerprint": [int(comp_hash["h"]), int(comp_hash["n"])],
+        "steal_frac": round(steal_frac, 4),
+        "avg_cores_busy": round(cores_busy, 1),
     }
 
 
@@ -84,10 +97,20 @@ def main() -> None:
     n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
     low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
     high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     corpus = ensure_corpus(n_rows)
 
-    res_low = run_once(corpus, low, f"c{low}")
-    res_high = run_once(corpus, high, f"c{high}")
+    # interleave configs and take best-of-N per config: the sandbox is
+    # a cloud VM where sustained-load frequency drops / neighbor noise
+    # can inflate any single run ~2x
+    runs_low, runs_high = [], []
+    for i in range(repeats):
+        runs_low.append(run_once(corpus, low, f"c{low}"))
+        runs_high.append(run_once(corpus, high, f"c{high}"))
+    res_low = min(runs_low, key=lambda r: r["wall_sec"])
+    res_high = min(runs_high, key=lambda r: r["wall_sec"])
+    res_low["all_walls"] = [r["wall_sec"] for r in runs_low]
+    res_high["all_walls"] = [r["wall_sec"] for r in runs_high]
     speedup = res_low["wall_sec"] / res_high["wall_sec"]
     efficiency = speedup / (high / low)
     identical = (

@@ -102,6 +102,7 @@ class DedupPipeline:
         started = now()
         df, extra, skew_keys = build()
         shuffle_before = self._shuffle_bytes()
+        t_build = now()
         out = self.catalog.write(
             name,
             df,
@@ -117,19 +118,29 @@ class DedupPipeline:
                 extra=extra,
             ),
         )
+        t_write = now()
         rows_out, skew = self._rows_and_skew(out, skew_keys)
-        manifest = self.catalog._load_manifest()
-        manifest["stages"][name]["rows_out"] = rows_out
-        manifest["metrics"][-1]["rows_out"] = rows_out
-        manifest["metrics"][-1]["skew_ratio"] = skew
-        manifest["metrics"][-1]["finished_at"] = now()
-        self.catalog._save_manifest(manifest)
+        t_stats = now()
         if name == "ingested":
             self._ingested = out
         if self.assert_invariants and "content_sha" in out.columns:
             bad = ingest_ops.assert_sha_invariant(out, self._ingested)
             if bad:
                 raise AssertionError(f"stage {name}: {bad} sha256 invariant violations")
+        t_invariant = now()
+        extra["phase_secs"] = {
+            "build": round(t_build - started, 2),
+            "write": round(t_write - t_build, 2),
+            "stats": round(t_stats - t_write, 2),
+            "invariant": round(t_invariant - t_stats, 2),
+        }
+        manifest = self.catalog._load_manifest()
+        manifest["stages"][name]["rows_out"] = rows_out
+        manifest["metrics"][-1]["rows_out"] = rows_out
+        manifest["metrics"][-1]["skew_ratio"] = skew
+        manifest["metrics"][-1]["extra"] = extra
+        manifest["metrics"][-1]["finished_at"] = now()
+        self.catalog._save_manifest(manifest)
         return out
 
     # -------------------------------------------------------------------- run
