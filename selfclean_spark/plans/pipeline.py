@@ -2,7 +2,7 @@
 
 The stage DAG (SURVEY.md §3.4):
 
-    code_files ──ingest──▶ ingested(id, sha)          [checkpoint]
+    code_files ──ingest──▶ ingested(id, sha)          (virtual projection)
         └─▶ signatures(minhash, simhash)              [checkpoint]
               └─▶ bands ─▶ candidates(id_a, id_b)     [checkpoint]
                     └─▶ verified_edges                [checkpoint]
@@ -28,6 +28,7 @@ from dataclasses import dataclass, field
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from selfclean_spark.catalog import ParquetCatalog, StageMetrics, now
 from selfclean_spark.config import PipelineConfig
@@ -42,7 +43,13 @@ from selfclean_spark.results import IssueManager, IssueTypes
 
 log = logging.getLogger(__name__)
 
-STAGES = ["ingested", "signatures", "candidates", "verified_edges", "components"]
+# Durable checkpoints (north rule: signatures, candidate edges, component
+# labels — plus verified edges, our scored edge table).  Ingest is a
+# VIRTUAL stage: id = xxhash64(repo,path,commit) and sha256(content) are
+# deterministic projections, so persisting a full copy of the source
+# (2 GB/150k files) buys no resumability — the first durable artifact is
+# the signature table, after which `content` never re-enters the plan.
+STAGES = ["signatures", "candidates", "verified_edges", "components"]
 
 
 @dataclass
@@ -121,10 +128,8 @@ class DedupPipeline:
         t_write = now()
         rows_out, skew = self._rows_and_skew(out, skew_keys)
         t_stats = now()
-        if name == "ingested":
-            self._ingested = out
         if self.assert_invariants and "content_sha" in out.columns:
-            bad = ingest_ops.assert_sha_invariant(out, self._ingested)
+            bad = ingest_ops.assert_sha_invariant(out, self._id_sha)
             if bad:
                 raise AssertionError(f"stage {name}: {bad} sha256 invariant violations")
         t_invariant = now()
@@ -163,14 +168,14 @@ class DedupPipeline:
 
         n_input = code_files.count()
 
-        # stage 0: ingest ------------------------------------------------
-        self._ingested = self._run_stage(
-            "ingested",
-            lambda: (ingest_ops.with_identity(code_files), {}, ["id"]),
-            rows_in=n_input,
-            force=force,
+        # stage 0: ingest (virtual — deterministic projection, see STAGES)
+        ingested = ingest_ops.with_identity(code_files)
+        self._ingested = ingested
+        # the (id, sha) dimension backs every invariant check; pin the
+        # narrow projection so each check doesn't re-hash the source
+        self._id_sha = (
+            ingested.select("id", "content_sha").persist(StorageLevel.DISK_ONLY)
         )
-        ingested = self._ingested
         metadata = ingest_ops.metadata_of(ingested)
 
         # stage 1: signatures ---------------------------------------------
@@ -287,7 +292,7 @@ class DedupPipeline:
             stage_side = verified.select(
                 F.col(f"id_{side}").alias("id"), F.col(f"sha_{side}").alias("content_sha")
             )
-            bad = ingest_ops.assert_sha_invariant(stage_side, self._ingested)
+            bad = ingest_ops.assert_sha_invariant(stage_side, self._id_sha)
             if bad:
                 raise AssertionError(
                     f"verified_edges: {bad} sha256 invariant violations on side {side}"
