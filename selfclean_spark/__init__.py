@@ -19,5 +19,14 @@ distributed large-star/small-star connected-components pass.
 from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.session import get_spark
 
-__all__ = ["PipelineConfig", "SignatureConfig", "get_spark"]
+__all__ = ["PipelineConfig", "SelfCleanSpark", "SignatureConfig", "get_spark"]
+
+
+def __getattr__(name):
+    # lazy: the facade pulls in the full pipeline graph
+    if name == "SelfCleanSpark":
+        from selfclean_spark.facade import SelfCleanSpark
+
+        return SelfCleanSpark
+    raise AttributeError(name)
 __version__ = "0.1.0"

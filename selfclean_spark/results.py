@@ -36,6 +36,10 @@ _ALIASES = {
     "isolation": "off_topic_samples",
     "lang_mismatch": "label_errors",
     "clusters": "components",
+    # the reference's approximate path returns this key when
+    # approximate_nn=True (selfclean_cleaner.py:198-200); our near-dup
+    # ranking IS the (verified) approximate path
+    "approx_near_duplicates": "near_duplicates",
 }
 
 
