@@ -32,6 +32,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "fingerprint_docs": Q.fingerprint_docs,
         "ngram_jaccard_pairs": Q.ngram_jaccard_pairs,
         "token_jaccard_pairs": Q.token_jaccard_pairs,
+        "allpairs_jaccard_sample": Q.allpairs_jaccard_sample,
         # text analysis (oracle-checked)
         "doc_stats": Q.doc_stats,
         "quality_by_source": Q.quality_by_source,
@@ -50,6 +51,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "isolation_ranking": Q.isolation_ranking,
         "lsh_topk_ann": Q.lsh_topk_ann,
         "embedding_dup_pairs": Q.embedding_dup_pairs,
+        "knn_edges_docs": Q.knn_edges_docs,
+        "lad_offtopic": Q.lad_offtopic,
+        "quantile_isolation_docs": Q.quantile_isolation_docs,
+        "multimodal_feature_stats": Q.multimodal_feature_stats,
     }
 
 

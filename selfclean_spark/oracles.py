@@ -41,6 +41,7 @@ FROM documents
 ORACLES["ngram_jaccard_pairs"] = """
 WITH toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
 ), shingled AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
@@ -81,6 +82,31 @@ FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common::DOUBLE / (sa.n_tok + sb.n_tok - n_common) >= 0.98
+"""
+
+ORACLES["allpairs_jaccard_sample"] = """
+WITH sel AS (
+  SELECT doc_id, text FROM documents WHERE doc_id < 60
+), toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM sel
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), shingled AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+  FROM toks
+), sizes AS (
+  SELECT doc_id, count(*)::BIGINT AS n FROM shingled GROUP BY 1
+), common AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*)::BIGINT AS c
+  FROM shingled a JOIN shingled b USING (sh)
+  WHERE a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, round(c::DOUBLE / (sa.n + sb.n - c), 6) AS jaccard
+FROM common
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
 """
 
 ORACLES["doc_stats"] = f"""

@@ -71,7 +71,7 @@ def ngram_jaccard_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
-    )
+    ).filter(F.size("t") >= 3)  # sequence(1, n-2) reverses when n < 3
     shingled = toks.select(
         "doc_id",
         F.explode(
@@ -282,3 +282,77 @@ def lsh_topk_ann(spark, sf_dir):
 def embedding_dup_pairs(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     return S.embedding_cosine_dup_pairs(e, threshold=0.95)
+
+
+def allpairs_jaccard_sample(spark, sf_dir):
+    """Exact all-pairs token-3-gram Jaccard on a 60-doc sample — the
+    reference's blocked cross join (selfclean_cleaner.py:121-146) as a
+    query, oracle-checked against string-level 3-gram sets in SQL
+    (hashed-shingle Jaccard == string-shingle Jaccard absent 64-bit
+    collisions)."""
+    from selfclean_spark.operators.oracle import exact_all_pairs
+
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") < 60)
+    std = d.select(F.col("doc_id").alias("id"), F.col("text").alias("content"))
+    res = exact_all_pairs(std, DOCS_CFG.signature)
+    return res.select(
+        "id_a", "id_b", F.round("jaccard", 6).alias("jaccard")
+    ).filter(F.col("jaccard") > 0)
+
+
+def knn_edges_docs(spark, sf_dir):
+    """Per-document k nearest verified neighbors (O5 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    return rank_ops.knn_edges(edges, k=5).select(
+        "id", "knn_rank", "neighbor_id", F.round("dist", 6).alias("dist")
+    )
+
+
+def lad_offtopic(spark, sf_dir):
+    """Sampled single-linkage + LAD sweep (the reference's actual
+    off-topic scorer) over the documents corpus."""
+    d = _t(spark, sf_dir, "documents")
+    std = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("text").alias("content"),
+        F.sha2("text", 256).alias("content_sha"),
+    )
+    sigs = sig_ops.compute_signatures(std, DOCS_CFG.signature)
+    meta = d.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("lang"),
+    )
+    return rank_ops.lad_offtopic_ranking(sigs, meta, n_sample=500).select(
+        "rank", "id", F.round("score", 6).alias("score")
+    )
+
+
+def quantile_isolation_docs(spark, sf_dir):
+    """Per-row distance-quantile off-topic scorer (A4 analog)."""
+    d = _t(spark, sf_dir, "documents")
+    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    universe = d.select(F.col("doc_id").alias("id"))
+    return rank_ops.quantile_isolation_ranking(edges, universe).select(
+        "rank", "id", F.round("score", 6).alias("score")
+    )
+
+
+def multimodal_feature_stats(spark, sf_dir):
+    """Multimodal plumbing smoke: deterministic fake media table →
+    Arrow feature extraction → per-kind aggregates (decode itself is
+    stubbed; schema/batching/partitioning are the real thing)."""
+    from selfclean_spark.sources import multimodal as MM
+
+    media = MM.synth_media(spark, n_rows=90, seed=7)
+    feats = MM.extract_features(media, dim=16)
+    return (
+        feats.select("kind", F.explode("feature").alias("v"))
+        .groupBy("kind")
+        .agg(
+            F.count(F.lit(1)).alias("n_values"),
+            F.round(F.avg("v"), 4).alias("mean_v"),
+        )
+    )
