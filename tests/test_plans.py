@@ -1,0 +1,92 @@
+"""Physical-plan hygiene tests — the scale properties are asserted on
+the optimizer output, not just claimed:
+
+* ``content`` never reaches a scan after the signature stage (column
+  pruning is structural);
+* predicate pushdown reaches the parquet scan;
+* no CartesianProduct appears anywhere in the pipeline's plans
+  (the reference's O(N²) cross join must not sneak back in).
+"""
+
+import pytest
+from pyspark.sql import functions as F
+
+from selfclean_spark.config import PipelineConfig
+from selfclean_spark.operators import candidates as cand_ops
+from selfclean_spark.operators import signatures as sig_ops
+from selfclean_spark.operators.ingest import metadata_of, with_identity
+from selfclean_spark.synth import generate_code_files
+
+
+@pytest.fixture(scope="module")
+def tables(spark, tmp_path_factory):
+    root = tmp_path_factory.mktemp("plans")
+    pdf = generate_code_files(n_rows=60, seed=13).code_files
+    src = str(root / "cf")
+    spark.createDataFrame(pdf).write.parquet(src)
+    cf = spark.read.parquet(src)
+    ing = with_identity(cf)
+    sigs_path = str(root / "sigs")
+    sig_ops.compute_signatures(ing, PipelineConfig().signature).write.parquet(sigs_path)
+    return cf, spark.read.parquet(sigs_path)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_candidates_plan_never_reads_content(tables):
+    _cf, sigs = tables
+    cfg = PipelineConfig()
+    bands = sig_ops.band_hashes(sigs, cfg.signature)
+    pairs, _ = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
+    plan = _plan(pairs)
+    read_schemas = [l for l in plan.splitlines() if "ReadSchema" in l]
+    assert read_schemas, "expected parquet scans in plan"
+    for line in read_schemas:
+        assert "content" not in line, line
+    assert "CartesianProduct" not in plan
+    # one logical pass over signatures; the bucket-size pre-count branch
+    # shares it once its persist materializes (≤2 scans pre-cache)
+    assert plan.count("Scan parquet") <= 2
+
+
+def test_metadata_join_prunes_content(tables):
+    cf, _sigs = tables
+    meta = metadata_of(with_identity(cf)).select("id", "repo", "path", "lang")
+    plan = _plan(meta)
+    # content feeds only sha2; selecting metadata columns must prune it
+    assert "ReadSchema" in plan
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "content" not in read_schema
+
+
+def test_filter_pushdown_to_scan(spark, tables):
+    cf, _ = tables
+    filtered = cf.filter(F.col("lang") == "python").select("repo", "path")
+    plan = _plan(filtered)
+    assert "PushedFilters: [IsNotNull(lang), EqualTo(lang,python)]" in plan or (
+        "PushedFilters" in plan and "EqualTo(lang,python)" in plan
+    )
+
+
+def test_signature_stage_reads_minimal_columns(tables):
+    cf, _ = tables
+    cfg = PipelineConfig()
+    sigs = sig_ops.compute_signatures(with_identity(cf), cfg.signature)
+    read_schema = [l for l in _plan(sigs).splitlines() if "ReadSchema" in l][0]
+    # exactly the columns identity+shingling need
+    for col in ("repo", "path", "commit", "content"):
+        assert col in read_schema
+    assert "lang" not in read_schema
+
+
+def test_whole_pipeline_no_cartesian(spark, tables, tmp_path):
+    from selfclean_spark.catalog import ParquetCatalog
+    from selfclean_spark.plans.pipeline import DedupPipeline
+
+    cf, _ = tables
+    pipe = DedupPipeline(spark, ParquetCatalog(spark, str(tmp_path / "c")), PipelineConfig())
+    manager = pipe.run(cf)
+    for key in ("near_duplicates", "off_topic_samples", "label_errors", "components"):
+        assert "CartesianProduct" not in _plan(manager[key])
