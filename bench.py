@@ -49,6 +49,7 @@ def materialize(df) -> int:
 
 
 def main() -> None:
+    os.environ.setdefault("SPARK_DRIVER_MEM", "24g")  # single-JVM local mode
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     m = re.search(r"sf([0-9.]+)", sf_dir)
