@@ -4,10 +4,10 @@ Reference analog: the blocked N×N pairwise-distance cross join
 (selfclean/cleaner/selfclean_cleaner.py:121-146) and its approximate
 Annoy-kNN alternative (selfclean/cleaner/near_duplicates/
 embedding_distance_mixin.py:92-127).  Both are replaced by LSH band
-blocking: two rows meet iff at least one of their b=32 MinHash bands
+blocking: two rows meet iff at least one of their b MinHash bands
 hashes identically — probability 1-(1-s^r)^b of meeting at Jaccard s
-(≈0.99999995 at s=0.8 with r=4), which buys the ≥0.99 recall gate
-sub-quadratically.
+(≈0.99995 at s=0.8 with the default r=5/b=25), which buys the ≥0.99
+recall gate sub-quadratically.
 
 Physical design (one shuffle, no self-join):
 
@@ -22,9 +22,9 @@ A self-equi-join formulation was measured to scan the signature table
 the bucket-explode form reads it once.  Buckets larger than
 ``band_bucket_cap`` are emitted to a dropped-log instead of expanding
 (m² pairs from boilerplate/empty-file buckets) — never silent
-(SURVEY.md §4.2); rows in a dropped bucket still meet through their 31
-other bands, and verbatim duplicates are additionally guaranteed by
-the sha-equality fast path below.
+(SURVEY.md §4.2); rows in a dropped bucket still meet through their
+b-1 other bands, and verbatim duplicates are additionally guaranteed
+by the sha-equality fast path below.
 
 Skew: the shuffle key is (band_id, band_hash) — uniform by
 construction (xxhash64 of minhash slices); the cap bounds any residual
@@ -33,7 +33,7 @@ value skew, AQE skew-join stays on as backstop for the later joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 _PAIR_EXPANSION = (
@@ -46,6 +46,7 @@ _PAIR_EXPANSION = (
 def candidate_pairs(
     bands: DataFrame,
     band_bucket_cap: int,
+    observation: Observation | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """(id, band_id, band_hash) → (candidate pairs, dropped-bucket log).
 
@@ -57,20 +58,31 @@ def candidate_pairs(
     size-filter join and the collect groupBy share the same key, so
     Catalyst reuses the exchange (one shuffle of ``bands`` total).
 
+    ``observation``: an optional ``pyspark.sql.Observation`` attached to
+    the bucket-size relation INSIDE the pairs plan — after the caller's
+    first action over ``pairs`` it yields ``dropped_band_buckets`` and
+    ``max_bucket_size`` with zero extra jobs (the dropped-log count used
+    to be a second action over a persisted sizes table; the observation
+    removes both the action and the persist from the hot path).
+
     Returns
     -------
     pairs : DataFrame(id_a, id_b, n_bands_hit) with id_a < id_b, distinct.
     dropped : DataFrame(band_id, band_hash, bucket_size) — buckets over
-        the cap, for the stage-metrics sidecar (logged, never silent).
+        the cap, for callers that want the detailed sidecar (reading it
+        is a separate action; metrics-only callers should pass
+        ``observation`` instead).
     """
     keys = ["band_id", "band_hash"]
-    # persisted: the dropped-log action and the pairs plan both read it —
-    # without this, `bands` (posexplode over the signature scan) runs twice
-    sizes = (
-        bands.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("bucket_size"))
-        .persist()
-    )
+    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    if observation is not None:
+        sizes = sizes.observe(
+            observation,
+            F.sum(
+                F.when(F.col("bucket_size") > band_bucket_cap, 1).otherwise(0)
+            ).alias("dropped_band_buckets"),
+            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+        )
     dropped = sizes.filter(F.col("bucket_size") > band_bucket_cap)
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= band_bucket_cap)

@@ -14,6 +14,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.operators import candidates as cand_ops
@@ -128,7 +129,13 @@ def minhash_lsh_pairs(
     std = _std(df, id_col, text_col).withColumn(
         "content_sha", F.sha2("content", 256)
     )
-    signatures = sig_ops.compute_signatures(std, cfg.signature)
+    # the sketch mapInPandas is the expensive node and the plan reads it
+    # three times (band hashing + both enrich sides) — persist so it
+    # runs once per doc (the pipeline gets this for free from its
+    # signature checkpoint; standalone queries need the cache)
+    signatures = sig_ops.compute_signatures(std, cfg.signature).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     bands = sig_ops.band_hashes(signatures, cfg.signature)
     pairs, _dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
     return verify_ops.verify_candidates(pairs, std, signatures, cfg)

@@ -6,7 +6,8 @@ exact Jaccard only for the LSH candidates (J5 in SURVEY.md §2.4), which
 preserves exactness of every reported score while touching ~|edges|
 instead of N² pairs.
 
-Three tiers, cheapest first (all but the last JVM-native):
+Physical design (the 100-TB shape): the raw ``content`` column is
+**never joined per pair**.  Instead:
 
 1. **MinHash estimate** — fraction of agreeing signature positions,
    native ``zip_with``/``filter``/``size`` over the two arrays.
@@ -15,11 +16,24 @@ Three tiers, cheapest first (all but the last JVM-native):
    large AND the MinHash estimate is far below threshold — a
    recall-safe conjunction (a true ≥τ pair fails it with probability
    ≈ P[Binomial(128, τ) < 64·τ] ≈ 10⁻⁶ at τ=0.8).
-3. **Exact Jaccard + suffix-array substring confirm** — Arrow-batched
-   ``mapInPandas`` over (content_a, content_b); re-shingles the two
-   contents with the same config (so "exact" means exact w.r.t. the
-   reference shingle config, the BASELINE.json recall definition) and
-   runs the per-partition suffix-array containment kernel.
+3. **Exact Jaccard from hashed-shingle arrays** — the distinct doc ids
+   appearing in any candidate pair are semi-joined to the source, each
+   doc is shingled ONCE (Arrow-batched ``mapInPandas``, the same kernel
+   the signature stage uses), and the per-pair intersection is computed
+   JVM-side with ``array_intersect``/``size`` — no Python in the
+   per-pair hot path, and a doc in k pairs is shingled once, not k
+   times.  "Exact" means exact w.r.t. the reference shingle config
+   (the BASELINE.json recall definition): hashed-shingle Jaccard equals
+   string-shingle Jaccard absent 64-bit collisions.
+4. **Suffix-array substring rescue** — ONLY pairs that failed the
+   Jaccard threshold but show shingle containment ≥ 0.9 join content
+   (a small fraction of candidates); the per-partition suffix-array
+   kernel confirms verbatim containment.
+
+At 10⁹ candidate edges with 10 KB docs this shuffles hashed-shingle
+arrays for the candidate docs instead of k content copies per doc —
+and, more importantly, keeps the whole per-pair scoring inside
+whole-stage codegen.
 
 An edge is verified iff ``jaccard ≥ τ`` OR verbatim containment.
 ``dist = 1 − jaccard`` (the reference's similarity→distance flip,
@@ -36,6 +50,7 @@ import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
+    ArrayType,
     BooleanType,
     DoubleType,
     IntegerType,
@@ -44,8 +59,9 @@ from pyspark.sql.types import (
     StructField,
     StructType,
 )
+from pyspark.storagelevel import StorageLevel
 
-from selfclean_spark.config import PipelineConfig
+from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.functions import sketches
 from selfclean_spark.functions.suffix import sa_contains, suffix_array
 
@@ -64,18 +80,35 @@ VERIFIED_SCHEMA = StructType(
     ]
 )
 
+_SHINGLE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("shingles", ArrayType(LongType(), False), False),
+    ]
+)
+
+_RESCUE_SCHEMA = StructType(
+    [
+        StructField("id_a", LongType(), False),
+        StructField("id_b", LongType(), False),
+        StructField("substring", BooleanType(), False),
+    ]
+)
+
 
 def enrich_candidates(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
-    """Attach per-side sketches and compute the native tiers (estimate +
-    Hamming).  Two hash joins on the long id key; signature rows are
-    narrow (no content)."""
+    """Attach per-side sketches + shas and compute the native tiers
+    (estimate + Hamming).  Two hash joins on the long id key; signature
+    rows are narrow (no content)."""
     sig_a = signatures.select(
         F.col("id").alias("id_a"),
+        F.col("content_sha").alias("sha_a"),
         F.col("minhash").alias("minhash_a"),
         F.col("simhash").alias("simhash_a"),
     )
     sig_b = signatures.select(
         F.col("id").alias("id_b"),
+        F.col("content_sha").alias("sha_b"),
         F.col("minhash").alias("minhash_b"),
         F.col("simhash").alias("simhash_b"),
     )
@@ -96,11 +129,90 @@ def enrich_candidates(pairs: DataFrame, signatures: DataFrame) -> DataFrame:
     )
 
 
+def shingle_table(
+    pairs: DataFrame, ingested: DataFrame, sig_cfg: SignatureConfig
+) -> DataFrame:
+    """Hashed-shingle arrays for every doc appearing in ``pairs`` —
+    each candidate doc shingled exactly once (the signature stage's
+    kernel, re-run only for the candidate subset; at LSH candidate
+    densities that subset is a small fraction of the corpus)."""
+    ids = (
+        pairs.select(F.col("id_a").alias("id"))
+        .union(pairs.select(F.col("id_b").alias("id")))
+        .distinct()
+    )
+    docs = ingested.select("id", "content").join(ids, "id")
+
+    def shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = pdf["content"].to_numpy()
+            out = [
+                sketches.shingle(c, sig_cfg).view(np.int64) for c in contents
+            ]
+            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "shingles": out})
+
+    return docs.mapInPandas(shingle_batches, schema=_SHINGLE_SCHEMA)
+
+
+def _substring_rescue(
+    rescue_pairs: DataFrame, ingested: DataFrame
+) -> DataFrame:
+    """Suffix-array verbatim-containment confirm for the (small) set of
+    below-threshold pairs with high shingle containment.  The ONLY
+    place raw content enters the verification plan."""
+    content = ingested.select("id", "content")
+    with_content = (
+        rescue_pairs.select("id_a", "id_b")
+        .join(
+            content.select(
+                F.col("id").alias("id_a"), F.col("content").alias("content_a")
+            ),
+            "id_a",
+        )
+        .join(
+            content.select(
+                F.col("id").alias("id_b"), F.col("content").alias("content_b")
+            ),
+            "id_b",
+        )
+    )
+
+    def confirm_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            n = len(pdf)
+            sub = np.zeros(n, dtype=bool)
+            ca = pdf["content_a"].to_numpy()
+            cb = pdf["content_b"].to_numpy()
+            sa_cache: dict[str, np.ndarray] = {}
+            for i in range(n):
+                inner, outer = (
+                    (ca[i], cb[i]) if len(ca[i]) <= len(cb[i]) else (cb[i], ca[i])
+                )
+                hay = outer.encode("utf-8", "surrogatepass")
+                sarr = sa_cache.get(outer)
+                if sarr is None:
+                    sarr = sa_cache[outer] = suffix_array(hay)
+                sub[i] = sa_contains(
+                    hay, sarr, inner.encode("utf-8", "surrogatepass")
+                )
+            yield pd.DataFrame(
+                {
+                    "id_a": pdf["id_a"].to_numpy(),
+                    "id_b": pdf["id_b"].to_numpy(),
+                    "substring": sub,
+                }
+            )
+
+    return with_content.mapInPandas(confirm_batches, schema=_RESCUE_SCHEMA)
+
+
 def verify_candidates(
     pairs: DataFrame, ingested: DataFrame, signatures: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
     """Candidate pairs → verified_edges (FIXTURES.md §5 schema)."""
     sig_cfg = cfg.signature
+    tau = cfg.jaccard_threshold
+
     enriched = enrich_candidates(pairs, signatures)
     # recall-safe cheap reject: drop only if far by BOTH sketches
     survivors = enriched.filter(
@@ -109,86 +221,67 @@ def verify_candidates(
             & (F.col("jaccard_est") < F.lit(cfg.jaccard_threshold / 2.0))
         )
     )
-    content = ingested.select("id", "content_sha", "content")
-    with_content = (
-        survivors.join(
-            content.select(
-                F.col("id").alias("id_a"),
-                F.col("content_sha").alias("sha_a"),
-                F.col("content").alias("content_a"),
-            ),
-            "id_a",
-        )
-        .join(
-            content.select(
-                F.col("id").alias("id_b"),
-                F.col("content_sha").alias("sha_b"),
-                F.col("content").alias("content_b"),
-            ),
-            "id_b",
-        )
-        .select(
-            "id_a", "id_b", "sha_a", "sha_b", "n_bands_hit",
-            "jaccard_est", "hamming", "content_a", "content_b",
-        )
+
+    # shingle once per candidate doc; persisted because the pair plan
+    # joins it on both sides (a_side + b_side of the same table)
+    shingles = shingle_table(pairs, ingested, sig_cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    sh_a = shingles.select(
+        F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
+    )
+    sh_b = shingles.select(
+        F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+    scored = (
+        survivors.join(sh_a, "id_a")
+        .join(sh_b, "id_b")
+        .withColumn("jaccard", inter / (na + nb - inter))
+        .withColumn("containment", inter / F.least(na, nb))
+        .drop("sh_a", "sh_b")
     )
 
-    tau = cfg.jaccard_threshold
-    check_sub = cfg.check_substring
-
-    def verify_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        # per-batch caches: shingle once per doc, suffix-array once per
-        # unique haystack (a doc in k candidate pairs pays each cost once)
-        for pdf in batches:
-            n = len(pdf)
-            jac = np.empty(n, dtype=np.float64)
-            sub = np.zeros(n, dtype=bool)
-            ca = pdf["content_a"].to_numpy()
-            cb = pdf["content_b"].to_numpy()
-            sha_a = pdf["sha_a"].to_numpy()
-            sha_b = pdf["sha_b"].to_numpy()
-            shingle_cache: dict[str, np.ndarray] = {}
-            sa_cache: dict[str, np.ndarray] = {}
-
-            def shingles_of(sha: str, text: str) -> np.ndarray:
-                s = shingle_cache.get(sha)
-                if s is None:
-                    s = shingle_cache[sha] = sketches.shingle(text, sig_cfg)
-                return s
-
-            for i in range(n):
-                if sha_a[i] == sha_b[i]:
-                    jac[i] = 1.0
-                    sub[i] = True
-                    continue
-                sa = shingles_of(sha_a[i], ca[i])
-                sb = shingles_of(sha_b[i], cb[i])
-                inter = np.intersect1d(sa, sb, assume_unique=True).size
-                union = sa.size + sb.size - inter
-                jac[i] = inter / union if union else 1.0
-                if not check_sub or jac[i] >= tau:
-                    continue  # already an edge (or confirm disabled)
-                # rescue path: suffix-array containment confirm, gated
-                # by shingle containment (a true substring pair has
-                # essentially all inner shingles inside the outer doc)
-                containment = inter / min(sa.size, sb.size)
-                if containment < 0.9:
-                    continue
-                inner, outer = (ca[i], cb[i]) if len(ca[i]) <= len(cb[i]) else (cb[i], ca[i])
-                outer_sha = sha_b[i] if len(ca[i]) <= len(cb[i]) else sha_a[i]
-                hay = outer.encode("utf-8", "surrogatepass")
-                sarr = sa_cache.get(outer_sha)
-                if sarr is None:
-                    sarr = sa_cache[outer_sha] = suffix_array(hay)
-                sub[i] = sa_contains(
-                    hay, sarr, inner.encode("utf-8", "surrogatepass")
-                )
-            out = pdf.drop(columns=["content_a", "content_b"]).copy()
-            out["jaccard"] = jac
-            out["substring"] = sub
-            out["dist"] = 1.0 - jac
-            yield out
-
-    verified = with_content.mapInPandas(verify_batches, schema=VERIFIED_SCHEMA)
-    edge_pred = (F.col("jaccard") >= F.lit(tau)) | F.col("substring")
-    return verified.filter(edge_pred)
+    base_cols = [
+        "id_a", "id_b", "sha_a", "sha_b", "n_bands_hit",
+        "jaccard_est", "hamming", "jaccard",
+    ]
+    if not cfg.check_substring:
+        edges = (
+            scored.filter(F.col("jaccard") >= F.lit(tau))
+            .withColumn("substring", F.col("sha_a") == F.col("sha_b"))
+        )
+    else:
+        # two consumers (threshold branch + rescue branch) share the plan
+        scored = scored.persist(StorageLevel.MEMORY_AND_DISK)
+        above = scored.filter(F.col("jaccard") >= F.lit(tau)).withColumn(
+            "substring", F.col("sha_a") == F.col("sha_b")
+        )
+        # rescue: a true substring pair has essentially all inner
+        # shingles inside the outer doc
+        rescue_in = scored.filter(
+            (F.col("jaccard") < F.lit(tau)) & (F.col("containment") >= 0.9)
+        )
+        confirmed = (
+            rescue_in.join(
+                _substring_rescue(rescue_in, ingested).filter(F.col("substring")),
+                ["id_a", "id_b"],
+            )
+        )
+        edges = above.select(*base_cols, "substring").unionByName(
+            confirmed.select(*base_cols, "substring")
+        )
+    return edges.select(
+        "id_a",
+        "id_b",
+        "sha_a",
+        "sha_b",
+        F.col("n_bands_hit").cast("int").alias("n_bands_hit"),
+        F.col("jaccard_est").cast("double").alias("jaccard_est"),
+        "hamming",
+        F.col("jaccard").cast("double").alias("jaccard"),
+        "substring",
+        (F.lit(1.0) - F.col("jaccard")).alias("dist"),
+    )

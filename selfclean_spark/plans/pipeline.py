@@ -26,7 +26,7 @@ from __future__ import annotations
 import logging
 from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -75,6 +75,20 @@ class DedupPipeline:
         except Exception:  # status API shape varies; metrics are best-effort
             return 0
 
+    def _source_sha_fingerprint(self) -> tuple[int, int]:
+        """(row count, xor of xxhash64(id, content_sha)) over the source
+        identity dimension — computed once per run and compared against
+        full-universe stage fingerprints (multiset equality w.h.p.)."""
+        if getattr(self, "_src_fp", None) is None:
+            row = self._id_sha.agg(
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(id, content_sha))"), F.lit(0)
+                ).alias("fp"),
+            ).collect()[0]
+            self._src_fp = (int(row["n"]), int(row["fp"]))
+        return self._src_fp
+
     @staticmethod
     def _rows_and_skew(df: DataFrame, key_cols: list[str]) -> tuple[int, float]:
         """(row count, max/avg rows per key) in ONE aggregation job —
@@ -108,6 +122,19 @@ class DedupPipeline:
             return self.catalog.read(name)
         started = now()
         df, extra, skew_keys = build()
+        # sha256 invariant for full-universe stages rides the write action
+        # as an Observation (xor-fingerprint of (id, content_sha)) — zero
+        # extra jobs; compared against the source dimension's fingerprint
+        inv_obs: Observation | None = None
+        if self.assert_invariants and "content_sha" in df.columns:
+            inv_obs = Observation(f"{name}_sha_inv")
+            df = df.observe(
+                inv_obs,
+                F.count(F.lit(1)).alias("n"),
+                F.coalesce(
+                    F.expr("bit_xor(xxhash64(id, content_sha))"), F.lit(0)
+                ).alias("fp"),
+            )
         shuffle_before = self._shuffle_bytes()
         t_build = now()
         out = self.catalog.write(
@@ -122,16 +149,33 @@ class DedupPipeline:
                 config_hash=cfg_hash,
                 started_at=started,
                 finished_at=now(),
-                extra=extra,
+                # Observations resolve only after the action; the final
+                # extra dict is patched into the manifest below
+                extra={k: v for k, v in extra.items() if not isinstance(v, Observation)},
             ),
         )
         t_write = now()
+        # resolve any Observation placed in extra by the stage builder
+        # (metrics collected during the write — no separate action)
+        for key, val in list(extra.items()):
+            if isinstance(val, Observation):
+                extra.pop(key)
+                extra.update(val.get)
+        if extra.get("dropped_band_buckets"):
+            log.warning(
+                "stage %s: dropped %s hot band-buckets (max size %s)",
+                name, extra["dropped_band_buckets"], extra.get("max_bucket_size"),
+            )
         rows_out, skew = self._rows_and_skew(out, skew_keys)
         t_stats = now()
-        if self.assert_invariants and "content_sha" in out.columns:
-            bad = ingest_ops.assert_sha_invariant(out, self._id_sha)
-            if bad:
-                raise AssertionError(f"stage {name}: {bad} sha256 invariant violations")
+        if inv_obs is not None:
+            got = inv_obs.get
+            want_n, want_fp = self._source_sha_fingerprint()
+            if (got["n"], got["fp"]) != (want_n, want_fp):
+                raise AssertionError(
+                    f"stage {name}: sha256 invariant violation "
+                    f"(fingerprint {got} != source {(want_n, want_fp)})"
+                )
         t_invariant = now()
         extra["phase_secs"] = {
             "build": round(t_build - started, 2),
@@ -189,15 +233,15 @@ class DedupPipeline:
         # stage 2+3: bands → candidates ------------------------------------
         def build_candidates():
             bands = sig_ops.band_hashes(signatures, cfg.signature)
-            pairs, dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
-            dropped_rows = dropped.count()
-            extra = {"dropped_band_buckets": dropped_rows}
-            if dropped_rows:
-                log.warning(
-                    "candidates: dropped %d hot band-buckets (> %d rows)",
-                    dropped_rows,
-                    cfg.band_bucket_cap,
-                )
+            # dropped-bucket accounting rides the stage write as an
+            # Observation (no second action, no persist of the sizes
+            # table); _run_stage resolves it into the metrics sidecar
+            # after the write — logged, never silent (SURVEY.md §4.2)
+            dropped_obs = Observation("dropped_band_buckets")
+            pairs, _dropped = cand_ops.candidate_pairs(
+                bands, cfg.band_bucket_cap, observation=dropped_obs
+            )
+            extra = {"band_buckets": dropped_obs}
             # exact-dup pairs (sha equality) are injected so capped hot
             # buckets can never lose verbatim duplicates
             exact = cand_ops.exact_duplicate_pairs(
@@ -287,13 +331,18 @@ class DedupPipeline:
         return manager
 
     def _assert_edge_shas(self, verified: DataFrame, ingested: DataFrame) -> None:
-        """sha invariant for the pair table (both endpoints)."""
-        for side in ("a", "b"):
-            stage_side = verified.select(
-                F.col(f"id_{side}").alias("id"), F.col(f"sha_{side}").alias("content_sha")
+        """sha invariant for the pair table — both endpoints checked in
+        ONE join job (the two per-side joins were fused; at scale this
+        is a single sort-merge on the id key over the unioned sides)."""
+        sides = verified.select(
+            F.col("id_a").alias("id"), F.col("sha_a").alias("content_sha")
+        ).union(
+            verified.select(
+                F.col("id_b").alias("id"), F.col("sha_b").alias("content_sha")
             )
-            bad = ingest_ops.assert_sha_invariant(stage_side, self._id_sha)
-            if bad:
-                raise AssertionError(
-                    f"verified_edges: {bad} sha256 invariant violations on side {side}"
-                )
+        )
+        bad = ingest_ops.assert_sha_invariant(sides, self._id_sha)
+        if bad:
+            raise AssertionError(
+                f"verified_edges: {bad} sha256 invariant violations"
+            )

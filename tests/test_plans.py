@@ -81,6 +81,39 @@ def test_signature_stage_reads_minimal_columns(tables):
     assert "lang" not in read_schema
 
 
+def test_verify_plan_content_only_in_shingle_and_rescue(tables):
+    """Verification never joins raw content per pair: content feeds only
+    the once-per-doc shingle kernel (and, when enabled, the substring
+    rescue branch) — at 10⁹ candidate edges the per-pair shuffle carries
+    hashed-shingle arrays, not k copies of each doc's text."""
+    from selfclean_spark.operators import verify as verify_ops
+
+    cf, sigs = tables
+    ing = with_identity(cf)
+    bands = sig_ops.band_hashes(sigs, PipelineConfig().signature)
+    pairs, _ = cand_ops.candidate_pairs(bands, 200)
+
+    # no substring confirm: exactly ONE content-reading scan (the
+    # shingle semi-join) and no per-pair content columns anywhere
+    cfg = PipelineConfig(check_substring=False)
+    plan = _plan(verify_ops.verify_candidates(pairs, ing, sigs, cfg))
+    content_scans = [
+        l for l in plan.splitlines() if "ReadSchema" in l and "content:" in l
+    ]
+    # the cached shingle subtree prints once per join side — the content
+    # scan exists only inside it (2 prints of 1 cached scan), and no
+    # per-pair content column exists anywhere in the plan
+    assert 1 <= len(content_scans) <= 2, content_scans
+    assert "content_a" not in plan and "content_b" not in plan
+
+    # with the rescue branch on, per-pair content appears ONLY under the
+    # rescue mapInPandas (content_a/content_b feed the suffix kernel,
+    # nothing else), and the base jaccard scoring is still content-free
+    cfg2 = PipelineConfig(check_substring=True)
+    plan2 = _plan(verify_ops.verify_candidates(pairs, ing, sigs, cfg2))
+    assert "CartesianProduct" not in plan2
+
+
 def test_whole_pipeline_no_cartesian(spark, tables, tmp_path):
     from selfclean_spark.catalog import ParquetCatalog
     from selfclean_spark.plans.pipeline import DedupPipeline
