@@ -164,11 +164,14 @@ def embedding_cosine_dup_pairs(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)
     via the sign-sketch candidate join — the embedding-space analog of
-    the MinHash text path."""
-    dim = len(embeddings.select(vec_col).first()[0])
+    the MinHash text path.  Pass ``dim`` to avoid the driver-side
+    schema-probe action."""
+    if dim is None:
+        dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signatures(embeddings, dim, n_bits, n_tables, seed, id_col, vec_col)
     a = sigs.select("table_id", "bucket", F.col("id").alias("id_a"))
     b = sigs.select("table_id", "bucket", F.col("id").alias("id_b"))

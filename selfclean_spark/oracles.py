@@ -18,10 +18,15 @@ STOPWORDS_SQL = "['the','a','of','and','to','in','is','on','for','with']"
 ORACLES: dict[str, str] = {}
 
 ORACLES["exact_dup_groups"] = """
+WITH corpus AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+)
 SELECT md5(text) AS content_md5,
        count(*)::BIGINT AS dup_count,
        min(doc_id) AS representative
-FROM documents
+FROM corpus
 GROUP BY 1
 HAVING count(*) > 1
 """
@@ -38,15 +43,22 @@ SELECT doc_id,
 FROM documents
 """
 
-ORACLES["ngram_jaccard_pairs"] = """
-WITH toks AS (
+# Shared CTE chain: distinct token 3-gram shingles of `documents` with
+# the NGRAM_MAX_DOC_FREQ df-cut (queries.py contract), per-doc sizes,
+# and per-pair intersection counts over the inverted index.
+_DOCS_PAIR_CTES = """
+toks AS (
   SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
   WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
-), shingled AS (
+), exploded AS (
   SELECT doc_id,
          unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
                 i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
   FROM toks
+), freq AS (
+  SELECT sh FROM exploded GROUP BY 1 HAVING count(*) <= 10000
+), shingled AS (
+  SELECT doc_id, sh FROM exploded JOIN freq USING (sh)
 ), sizes AS (
   SELECT doc_id, count(*)::BIGINT AS n FROM shingled GROUP BY 1
 ), common AS (
@@ -54,13 +66,98 @@ WITH toks AS (
   FROM shingled a JOIN shingled b USING (sh)
   WHERE a.doc_id < b.doc_id
   GROUP BY 1, 2
-)
+)"""
+
+# Verified near-dup edges at the DOCS_CFG threshold τ=0.5 (the SQL
+# truth set of the LSH pipeline's exact-Jaccard verification; LSH miss
+# probability ≈5e-8 per pair at the corpus's weakest pair, seeded and
+# deterministic).
+_DOCS_EDGES_CTE = _DOCS_PAIR_CTES + """,
+vpairs AS (
+  SELECT id_a, id_b, n_common::DOUBLE / (sa.n + sb.n - n_common) AS j
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.5
+)"""
+
+ORACLES["ngram_jaccard_pairs"] = f"""
+WITH {_DOCS_PAIR_CTES}
 SELECT id_a, id_b,
        round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS jaccard
 FROM common
 JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 WHERE n_common::DOUBLE / (sa.n + sb.n - n_common) >= 0.1
+"""
+
+ORACLES["minhash_verified_pairs"] = f"""
+WITH {_DOCS_EDGES_CTE}
+SELECT id_a, id_b, round(j, 6) AS jaccard, round(1.0 - j, 6) AS dist
+FROM vpairs
+"""
+
+ORACLES["minhash_components"] = f"""
+WITH RECURSIVE {_DOCS_EDGES_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM vpairs
+),
+reach(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.m
+)
+SELECT id, min(m) AS component_id FROM reach GROUP BY 1
+"""
+
+ORACLES["knn_edges_docs"] = f"""
+WITH {_DOCS_EDGES_CTE},
+per_node AS (
+  SELECT id_a AS id, id_b AS neighbor_id, 1.0 - j AS dist FROM vpairs
+  UNION ALL
+  SELECT id_b AS id, id_a AS neighbor_id, 1.0 - j AS dist FROM vpairs
+), ranked AS (
+  SELECT id, neighbor_id, dist,
+         row_number() OVER (PARTITION BY id ORDER BY dist ASC, neighbor_id ASC) AS rk
+  FROM per_node
+)
+SELECT id, rk::BIGINT AS knn_rank, neighbor_id, round(dist, 6) AS dist
+FROM ranked WHERE rk <= 5
+"""
+
+ORACLES["quantile_isolation_docs"] = f"""
+WITH {_DOCS_EDGES_CTE},
+per_node AS (
+  SELECT id_a AS id, 1.0 - j AS dist FROM vpairs
+  UNION ALL
+  SELECT id_b AS id, 1.0 - j AS dist FROM vpairs
+), agg AS (
+  SELECT id, quantile_cont(dist, 0.01) AS score FROM per_node GROUP BY 1
+), scored AS (
+  SELECT d.doc_id AS id, coalesce(a.score, 1.0) AS score
+  FROM documents d LEFT JOIN agg a ON a.id = d.doc_id
+), ranked AS (
+  SELECT id, score, row_number() OVER (ORDER BY score DESC, id ASC) AS rank
+  FROM scored
+)
+SELECT rank::BIGINT AS rank, id, round(score, 6) AS score FROM ranked
+"""
+
+ORACLES["embedding_dup_pairs"] = """
+WITH corpus AS (
+  SELECT vec_id, embedding FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding FROM embeddings WHERE vec_id < 25
+), scored AS (
+  SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+         list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+           / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+            * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) AS c
+  FROM corpus a JOIN corpus b ON a.vec_id < b.vec_id
+)
+SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.95
 """
 
 ORACLES["token_jaccard_pairs"] = """

@@ -46,8 +46,21 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 # Exact dedup family (oracle-checked)
 # --------------------------------------------------------------------------
 
+def _with_planted_dups(docs: DataFrame, n: int = 20, shift: int = 1_000_000) -> DataFrame:
+    """Union a doc_id-shifted copy of the first ``n`` docs — the
+    reference's planted-duplicate fixture (tests/unittests/cleaner/
+    near_duplicates/test_embedding_distance.py:22-40) as a derived
+    table, so the exact-dup queries compare NON-EMPTY result sets
+    (the natural corpus has no byte-identical dups)."""
+    planted = docs.filter(F.col("doc_id") < n).withColumn(
+        "doc_id", F.col("doc_id") + shift
+    )
+    return docs.unionByName(planted)
+
+
 def exact_dup_groups(spark, sf_dir):
-    return D.exact_dup_groups(_t(spark, sf_dir, "documents"), "doc_id", "text")
+    d = _with_planted_dups(_t(spark, sf_dir, "documents"))
+    return D.exact_dup_groups(d, "doc_id", "text")
 
 
 def exact_components(spark, sf_dir):
@@ -62,17 +75,26 @@ def fingerprint_docs(spark, sf_dir):
     )
 
 
+NGRAM_MAX_DOC_FREQ = 10_000  # shared df-cut contract with the oracle
+
+
 def ngram_jaccard_pairs(spark, sf_dir):
     """Token 3-gram Jaccard near-dup pairs (exact, inverted-index join).
 
     Shared contract with the oracle: shingles are distinct
-    space-joined token triples; jaccard = |∩| / |∪|; τ = 0.1.
+    space-joined token triples whose document frequency is ≤
+    ``NGRAM_MAX_DOC_FREQ`` (the classic df-cut — a shingle in f docs
+    would contribute f² join rows, so ubiquitous boilerplate shingles
+    are excluded from BOTH the index and the per-doc set sizes; the
+    result is the exact Jaccard *of the capped vocabulary*, which at
+    testdata scale equals plain exact Jaccard because no shingle hits
+    the cap); jaccard = |∩| / |∪|; τ = 0.1.
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= 3)  # sequence(1, n-2) reverses when n < 3
-    shingled = toks.select(
+    exploded = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
@@ -87,6 +109,10 @@ def ngram_jaccard_pairs(spark, sf_dir):
                 )
             )
         ).alias("sh"),
+    )
+    freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    shingled = exploded.join(
+        freq.filter(F.col("df") <= NGRAM_MAX_DOC_FREQ).select("sh"), "sh"
     )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.select(F.col("doc_id").alias("id_a"), "sh")
@@ -220,17 +246,26 @@ def events_hourly(spark, sf_dir):
 
 
 # --------------------------------------------------------------------------
-# Sketch pipeline over the documents corpus (rows-only checks: the
-# MinHash/SimHash mechanisms are not ANSI-SQL-expressible; their
-# correctness gate is the pytest oracle-recall suite)
+# Sketch pipeline over the documents corpus.  The MECHANISM (MinHash/
+# LSH) is not SQL-expressible, but the verified OUTPUT is: verification
+# reports exact token-3-gram Jaccard, so the edge set ≥ τ equals the
+# SQL truth set minus LSH misses — analytically ≈5e-8 per pair at the
+# corpus's weakest pair (s=0.9, r=4, b=32), far below the comparison
+# tolerance, and deterministic (seeded).  The sketch-internal columns
+# (hamming, n_bands_hit) are excluded from the comparable surface.
 # --------------------------------------------------------------------------
 
 def minhash_verified_pairs(spark, sf_dir):
+    """LSH-candidates → exact-Jaccard-verified near-dup pairs at τ=0.5.
+
+    Oracle-checked: the output is exact Jaccard over token 3-shingles
+    (hashed-shingle Jaccard == string-shingle Jaccard absent 64-bit
+    collisions — same argument as ``allpairs_jaccard_sample``)."""
     d = _t(spark, sf_dir, "documents")
     edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
     return edges.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
-        "hamming", F.round("dist", 6).alias("dist"),
+        F.round("dist", 6).alias("dist"),
     ).orderBy("id_a", "id_b")
 
 
@@ -273,15 +308,28 @@ def isolation_ranking(spark, sf_dir):
 
 def lsh_topk_ann(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
-    return S.lsh_topk(e, k=5, n_bits=10, n_tables=6).select(
+    # dim=64 is the testdata embedding width (TESTDATA.md) — passing it
+    # avoids a driver-side first() action inside the query builder
+    return S.lsh_topk(e, k=5, n_bits=10, n_tables=6, dim=64).select(
         "query_id", F.col("knn_rank").cast("long").alias("knn_rank"),
         "neighbor_id", "cosine",
     )
 
 
 def embedding_dup_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs via sign-sketch LSH, on a corpus
+    with planted exact-copy vectors (the natural corpus has no pair
+    above τ=0.95 — max natural cosine < 0.9 — so without planting the
+    query proved nothing).  Oracle-checked: planted copies collide in
+    every LSH table (identical sign patterns), and every natural pair
+    is ≥0.05 below τ, so LSH recall is structurally 1.0 here."""
     e = _t(spark, sf_dir, "embeddings")
-    return S.embedding_cosine_dup_pairs(e, threshold=0.95)
+    planted = e.filter(F.col("vec_id") < 25).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    return S.embedding_cosine_dup_pairs(
+        e.unionByName(planted), threshold=0.95, dim=64
+    )
 
 
 def allpairs_jaccard_sample(spark, sf_dir):
@@ -305,7 +353,8 @@ def knn_edges_docs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
     return rank_ops.knn_edges(edges, k=5).select(
-        "id", "knn_rank", "neighbor_id", F.round("dist", 6).alias("dist")
+        "id", F.col("knn_rank").cast("long").alias("knn_rank"),
+        "neighbor_id", F.round("dist", 6).alias("dist"),
     )
 
 
