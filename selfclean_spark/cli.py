@@ -32,19 +32,23 @@ from selfclean_spark.sources.code_files import read_code_files
 
 
 def build_parser() -> argparse.ArgumentParser:
+    # CLI defaults derive from the library dataclass defaults so a bare
+    # CLI run and a bare facade/pipeline run share the same config hash
+    # (hard-coded values here once drifted from SignatureConfig)
+    sig, pipe = SignatureConfig(), PipelineConfig()
     p = argparse.ArgumentParser(prog="selfclean-spark")
     p.add_argument("--source", required=True, help="parquet path or table:<fqn>")
     p.add_argument("--checkpoint-root", required=True)
     p.add_argument("--master", default=None)
-    p.add_argument("--shingle-mode", choices=["char", "token"], default="char")
-    p.add_argument("--shingle-k", type=int, default=5)
-    p.add_argument("--shingle-w", type=int, default=3)
-    p.add_argument("--num-perm", type=int, default=128)
-    p.add_argument("--bands", type=int, default=32)
-    p.add_argument("--rows-per-band", type=int, default=4)
-    p.add_argument("--jaccard-threshold", type=float, default=0.8)
-    p.add_argument("--band-bucket-cap", type=int, default=200)
-    p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--shingle-mode", choices=["char", "token"], default=sig.shingle_mode)
+    p.add_argument("--shingle-k", type=int, default=sig.shingle_k)
+    p.add_argument("--shingle-w", type=int, default=sig.shingle_w)
+    p.add_argument("--num-perm", type=int, default=sig.num_perm)
+    p.add_argument("--bands", type=int, default=sig.lsh_bands)
+    p.add_argument("--rows-per-band", type=int, default=sig.lsh_rows)
+    p.add_argument("--jaccard-threshold", type=float, default=pipe.jaccard_threshold)
+    p.add_argument("--band-bucket-cap", type=int, default=pipe.band_bucket_cap)
+    p.add_argument("--seed", type=int, default=sig.seed)
     p.add_argument("--auto-cleaning", action="store_true")
     p.add_argument("--no-substring", action="store_true")
     p.add_argument("--force", action="store_true", help="ignore checkpoints")

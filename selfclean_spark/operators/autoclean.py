@@ -43,6 +43,12 @@ class FractionCut:
     n_flagged: int
 
 
+# above this many in-range rows the two fit quantiles switch from exact
+# distributed `percentile` (a memory-heavy single aggregation at 10¹²
+# pair scores) to Greenwald-Khanna `approxQuantile`
+EXACT_QUANTILE_MAX_ROWS = 10_000_000
+
+
 def fraction_cut(
     scores: DataFrame,
     score_col: str,
@@ -50,14 +56,22 @@ def fraction_cut(
     alpha: float = 0.01,
     q: float = 0.05,
     pair_scores: bool = False,
-    exact_quantiles: bool = True,
+    exact_quantiles: bool | None = None,
     approx_rel_err: float = 1e-4,
 ) -> tuple[DataFrame, FractionCut]:
     """Flag the low tail of ``score_col``; returns (scores + ``auto_issue``
     boolean column, fit diagnostics).
 
     ``n_samples`` is the reference's ``self.N`` (dataset size), used in
-    the exclusion probability prob = q·p·N/M (:113).
+    the exclusion probability prob = q·p·N/M (:113), with M the TOTAL
+    score count (the reference's ``len(scores)`` BEFORE the (0,1)
+    range filter, auto_cleaning_mixin.py:102-113 — dedup outputs carry
+    many dist==0 exact-dup pairs, so the two counts genuinely differ).
+
+    ``exact_quantiles``: True/False force the path; None (default)
+    auto-selects — exact below ``EXACT_QUANTILE_MAX_ROWS`` in-range
+    rows, approxQuantile above (both paths satisfy the §5.2.6
+    invariance test).
     """
     if pair_scores:
         alpha = alpha**2  # :102-105
@@ -65,13 +79,21 @@ def fraction_cut(
         (F.col(score_col) > 0) & (F.col(score_col) < 1)
     ).withColumn("_logit", F.log(F.col(score_col) / (1.0 - F.col(score_col))))
 
-    m = in_range.count()
-    if m < 2:
+    counts = scores.agg(
+        F.count(F.lit(1)).alias("m_total"),
+        F.count(
+            F.when((F.col(score_col) > 0) & (F.col(score_col) < 1), 1)
+        ).alias("m_in"),
+    ).collect()[0]
+    m_total, m_in = int(counts["m_total"]), int(counts["m_in"])
+    if m_in < 2:
         out = scores.withColumn("auto_issue", F.lit(False))
         return out, FractionCut(float("-inf"), 0.0, 0.0, 0.0, 0.0, 0)
 
     p1 = alpha
     p2 = (0.5 * alpha) ** 0.5
+    if exact_quantiles is None:
+        exact_quantiles = m_in <= EXACT_QUANTILE_MAX_ROWS
     if exact_quantiles:
         row = in_range.agg(
             F.expr(f"percentile(_logit, {p1})").alias("q1"),
@@ -83,7 +105,7 @@ def fraction_cut(
 
     scale = (q2 - q1) / (logistic_ppf(p2) - logistic_ppf(p1))
     loc = q1 - logistic_ppf(p1) * scale
-    prob = q * p1 * n_samples / m
+    prob = q * p1 * n_samples / m_total
     prob = min(max(prob, 1e-12), 1 - 1e-12)
     cutoff = logistic_ppf(prob) * scale + loc
 

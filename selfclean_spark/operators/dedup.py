@@ -90,11 +90,14 @@ def token_jaccard_pairs(
     postings = std.select(
         "id", F.explode(F.array_distinct(F.split(F.trim("content"), r"\s+"))).alias("tok")
     ).filter(F.length("tok") > 0)
-    doc_sizes = postings.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     tok_freq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
     pruned = postings.join(
         tok_freq.filter(F.col("df") <= max_doc_freq).select("tok"), "tok"
     )
+    # per-doc sizes over the CAPPED vocabulary — numerator and
+    # denominator see the same token universe, so the result is the
+    # exact Jaccard of the capped sets (not an underestimate)
+    doc_sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_tok"))
     a = pruned.select("tok", F.col("id").alias("id_a"))
     b = pruned.select("tok", F.col("id").alias("id_b"))
     common = (
@@ -147,13 +150,30 @@ def simhash_near_pairs(
     text_col: str,
     max_hamming: int = 8,
     cfg: SignatureConfig | None = None,
-    n_tables: int = 4,
+    n_tables: int | None = None,
+    block_cap: int = 2_000,
 ) -> DataFrame:
     """SimHash near-dup pairs: 64-bit fingerprints, banded into
-    ``n_tables`` 16-bit prefixes for blocking (two docs within Hamming
-    distance h collide in at least one block when h < n_tables), then
-    exact Hamming check via native bit_count."""
+    ``n_tables`` bit-blocks for blocking, then exact Hamming check via
+    native bit_count.
+
+    Recall guarantee (pigeonhole, Manku et al. WWW'07 multi-table
+    scheme): two fingerprints within Hamming distance h agree on at
+    least one of the blocks whenever h < n_tables — so ``n_tables``
+    defaults to ``max_hamming + 1``, making the blocking exact for the
+    requested radius (an explicit smaller ``n_tables`` trades recall
+    beyond h = n_tables - 1 for fewer candidates).
+
+    Skew safety: blocks whose key gathers more than ``block_cap`` rows
+    are dropped from the join instead of expanding m² pairs — the
+    constant-fingerprint families (empty/boilerplate docs) that
+    dominate such blocks are exact duplicates, whose home is the
+    sha-equality fast path (``candidates.exact_duplicate_pairs``), not
+    the near-dup sketch join.
+    """
     cfg = cfg or SignatureConfig()
+    if n_tables is None:
+        n_tables = max_hamming + 1
     std = _std(df, id_col, text_col).withColumn(
         "content_sha", F.sha2("content", 256)
     )
@@ -173,14 +193,24 @@ def simhash_near_pairs(
             )
         ).alias("block_id", "block_key"),
     )
-    a = blocks.select(
-        "block_id", "block_key", F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")
+    keys = ["block_id", "block_key"]
+    # pre-count block sizes (map-side combine handles hot keys) and keep
+    # only under-cap blocks — the same pattern as candidates.candidate_pairs
+    eligible = (
+        blocks.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= block_cap))
+        .select(*keys)
     )
-    b = blocks.select(
-        "block_id", "block_key", F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
+    capped = blocks.join(eligible, keys, "inner")
+    a = capped.select(
+        *keys, F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")
+    )
+    b = capped.select(
+        *keys, F.col("id").alias("id_b"), F.col("simhash").alias("sim_b")
     )
     return (
-        a.join(b, ["block_id", "block_key"])
+        a.join(b, keys)
         .filter(F.col("id_a") < F.col("id_b"))
         .withColumn("hamming", F.expr("cast(bit_count(sim_a ^ sim_b) as int)"))
         .filter(F.col("hamming") <= max_hamming)

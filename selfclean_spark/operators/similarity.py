@@ -21,26 +21,11 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
+from selfclean_spark.functions.distances import cosine_similarity, get_distance
 
-def _cosine(a: str, b: str) -> F.Column:
-    """Native cosine similarity between two array<float/double> cols."""
-    dot = F.expr(
-        f"aggregate(zip_with({a}, {b}, (x, y) -> cast(x as double) * cast(y as double)),"
-        " cast(0.0 as double), (acc, v) -> acc + v)"
-    )
-    na = F.sqrt(
-        F.expr(
-            f"aggregate({a}, cast(0.0 as double),"
-            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
-        )
-    )
-    nb = F.sqrt(
-        F.expr(
-            f"aggregate({b}, cast(0.0 as double),"
-            " (acc, v) -> acc + cast(v as double) * cast(v as double))"
-        )
-    )
-    return dot / (na * nb)
+# native cosine similarity between two array<float/double> cols
+# (canonical home: functions.distances — shared with the kernel registry)
+_cosine = cosine_similarity
 
 
 def cosine_topk(
@@ -74,6 +59,45 @@ def cosine_topk(
         scored.withColumn("knn_rank", F.row_number().over(w))
         .filter(F.col("knn_rank") <= k)
         .select("query_id", "knn_rank", "neighbor_id", F.round("cosine", 6).alias("cosine"))
+    )
+
+
+def distance_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    metric: str = "cosine",
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k nearest neighbors under a REGISTERED distance kernel
+    (``functions.distances.DISTANCE_KERNELS``) — the pluggable-metric
+    analog of the reference's custom distance function hook
+    (selfclean_cleaner.py:39-40,77-80; e.g. metric="projective" ranks
+    antipodal vectors as duplicates).  Same broadcast-query physical
+    shape as :func:`cosine_topk`; ties break on neighbor id."""
+    kernel = get_distance(metric)
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nvec")
+    )
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("dist", kernel("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("dist").asc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id", "knn_rank", "neighbor_id",
+            F.round("dist", 6).alias("dist"),
+        )
     )
 
 

@@ -161,10 +161,14 @@ SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.95
 """
 
 ORACLES["token_jaccard_pairs"] = """
-WITH postings AS (
+WITH raw_postings AS (
   SELECT doc_id,
          unnest(list_distinct(regexp_split_to_array(trim(text), '\\s+'))) AS tok
   FROM documents
+), tok_freq AS (
+  SELECT tok FROM raw_postings GROUP BY 1 HAVING count(*) <= 10000
+), postings AS (
+  SELECT doc_id, tok FROM raw_postings JOIN tok_freq USING (tok)
 ), sizes AS (
   SELECT doc_id, count(*)::BIGINT AS n_tok FROM postings GROUP BY 1
 ), common AS (

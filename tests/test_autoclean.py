@@ -21,9 +21,9 @@ def _reference_fraction_cut(scores: np.ndarray, n: int, alpha: float, q: float,
     (auto_cleaning_mixin.py:100-125) for cross-checking."""
     if pair_scores:
         alpha = alpha**2
+    m = len(scores)  # reference: M = len(scores) BEFORE the range filter
     s = scores[(scores > 0) & (scores < 1)]
     logit = np.log(s / (1 - s))
-    m = len(s)
     p1, p2 = alpha, (0.5 * alpha) ** 0.5
     q1 = np.quantile(logit, p1)
     q2 = np.quantile(logit, p2)
@@ -78,6 +78,44 @@ def test_pair_scores_squares_alpha(scores_df):
     )
     ref_cutoff, _ = _reference_fraction_cut(vals, 4000, 0.1, 0.05, True)
     assert math.isclose(fit_pair.cutoff_logit, ref_cutoff, rel_tol=1e-9)
+
+
+def test_m_counts_out_of_range_scores(spark):
+    """The exclusion probability uses M = len(scores) BEFORE the (0,1)
+    filter (auto_cleaning_mixin.py:102-113) — dedup outputs carry many
+    dist==0 exact-dup pairs, so the counts genuinely differ."""
+    rng = np.random.default_rng(7)
+    vals = np.clip(rng.beta(5, 2, size=2000), 1e-6, 1 - 1e-6)
+    vals[:20] = rng.uniform(1e-5, 1e-3, size=20)
+    padded = np.concatenate([vals, np.zeros(500), np.ones(300)])  # out-of-range mass
+    df = spark.createDataFrame(
+        [(i, float(v)) for i, v in enumerate(padded)], "id long, score double"
+    )
+    _, fit = fraction_cut(df, "score", n_samples=2800, alpha=0.1, q=0.05)
+    ref_cutoff, ref_n = _reference_fraction_cut(padded, 2800, 0.1, 0.05, False)
+    assert math.isclose(fit.cutoff_logit, ref_cutoff, rel_tol=1e-9)
+    assert fit.n_flagged == ref_n
+
+
+def test_approx_quantile_path_invariance(scores_df):
+    """§5.2.6 on the scale path: approxQuantile with tight rel-err must
+    reproduce the exact fit on this distribution, and forcing either
+    path must never change scores/ordering (only the flag set may)."""
+    df, vals = scores_df
+    exact_df, exact_fit = fraction_cut(
+        df, "score", n_samples=4000, alpha=0.1, q=0.05, exact_quantiles=True
+    )
+    approx_df, approx_fit = fraction_cut(
+        df, "score", n_samples=4000, alpha=0.1, q=0.05,
+        exact_quantiles=False, approx_rel_err=1e-6,
+    )
+    # GK returns the nearest order statistic while exact percentile
+    # interpolates between adjacent ones — on 4000 rows that bounds the
+    # cutoff gap by one inter-sample step (≲1% here, shrinking as 1/n)
+    assert math.isclose(approx_fit.cutoff_logit, exact_fit.cutoff_logit, rel_tol=0.01)
+    pa = exact_df.drop("auto_issue").orderBy("id").toPandas()
+    pb = approx_df.drop("auto_issue").orderBy("id").toPandas()
+    assert pa.equals(pb)
 
 
 def test_degenerate_inputs(spark):

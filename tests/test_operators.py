@@ -51,6 +51,24 @@ def test_token_jaccard_pairs(docs):
     assert (0, 3) not in pairs
 
 
+def test_token_jaccard_df_cap_bounds_fanout(spark):
+    """A token planted in 50 docs with max_doc_freq=10 is excluded from
+    BOTH the inverted index and the per-doc set sizes (capped-vocabulary
+    Jaccard) — the hot-token docs generate zero join fan-out while
+    unaffected pairs keep their exact scores."""
+    rows = [(i, f"common uniq{i}a uniq{i}b") for i in range(50)]
+    rows += [(100, "x y z"), (101, "x y z")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in D.token_jaccard_pairs(
+            df, "doc_id", "text", threshold=0.1, max_doc_freq=10
+        ).collect()
+    }
+    assert pairs[(100, 101)] == 1.0  # capped vocab: {x,y,z} ∩/∪ {x,y,z}
+    assert all(a >= 100 for a, _ in pairs), f"hot-token fan-out leaked: {pairs}"
+
+
 def test_minhash_lsh_pairs_finds_clones(docs):
     edges = {
         (r.id_a, r.id_b): r.jaccard
@@ -63,6 +81,61 @@ def test_simhash_near_pairs(docs):
     pairs = {(r.id_a, r.id_b) for r in D.simhash_near_pairs(docs, "doc_id", "text").collect()}
     assert (0, 1) in pairs
     assert (0, 3) not in pairs
+
+
+def test_simhash_blocking_guarantees_radius(spark):
+    """n_tables defaults to max_hamming+1 so the pigeonhole guarantee
+    covers the WHOLE requested radius — a pair at Hamming h ≤
+    max_hamming must be found regardless of which bits differ (the old
+    fixed 4-table split silently missed h ≥ 4 pairs)."""
+    from selfclean_spark.config import SignatureConfig
+    from selfclean_spark.operators import signatures as sig_ops
+
+    # two near-dup texts whose fingerprints differ in >3 bits: a 4-table
+    # split has no diff-free 16-bit block guarantee, 9 tables do
+    rows = [
+        (0, "zeta eta theta iota kappa " * 6),
+        (1, "zeta eta theta iota kappa " * 4 + "zeta eta theta iota chi " * 2),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    cfg = SignatureConfig()
+    sigs = {
+        r.id: r.simhash
+        for r in sig_ops.compute_signatures(
+            df.select(
+                F.col("doc_id").alias("id"),
+                F.col("text").alias("content"),
+                F.sha2("text", 256).alias("content_sha"),
+            ),
+            cfg,
+        ).collect()
+    }
+    h = bin((sigs[0] ^ sigs[1]) & (2**64 - 1)).count("1")
+    assert 0 < h <= 8, f"fixture drift: hamming {h}"
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(df, "doc_id", "text", max_hamming=8).collect()
+    }
+    assert (0, 1) in pairs
+
+
+def test_simhash_block_cap_bounds_hot_families(spark):
+    """A planted constant-fingerprint family (10³ identical docs) must
+    not explode into m² join rows: every one of its blocks is over the
+    cap and gets dropped, while unrelated near-dup pairs survive."""
+    family = [(i, "license boilerplate header " * 10) for i in range(1000)]
+    others = [
+        (2000, "alpha beta gamma delta epsilon zeta eta theta"),
+        (2001, "alpha beta gamma delta epsilon zeta eta theta"),
+    ]
+    df = spark.createDataFrame(family + others, "doc_id long, text string")
+    pairs = D.simhash_near_pairs(
+        df, "doc_id", "text", max_hamming=3, block_cap=100
+    ).collect()
+    got = {(r.id_a, r.id_b) for r in pairs}
+    assert (2000, 2001) in got
+    # the 1000-doc family contributes nothing (its home is exact dedup)
+    assert all(a >= 2000 for a, _ in got), f"family leaked: {len(got)} pairs"
 
 
 # -- similarity ---------------------------------------------------------------

@@ -10,7 +10,10 @@ from selfclean_spark.operators.ingest import with_identity
 from selfclean_spark.operators.signatures import compute_signatures
 from selfclean_spark.sources import multimodal as MM
 from selfclean_spark.sources.code_files import read_code_files
-from selfclean_spark.streaming.incremental import incremental_signatures
+from selfclean_spark.streaming.incremental import (
+    incremental_signatures,
+    read_signatures,
+)
 from selfclean_spark.synth import generate_code_files
 
 
@@ -81,13 +84,13 @@ def test_incremental_signatures_match_batch(spark, tmp_path):
     # first drop of files
     spark.createDataFrame(pdf.iloc[:25]).write.mode("append").parquet(src)
     incremental_signatures(spark, src, out, ckpt, cfg)
-    n1 = spark.read.parquet(out).count()
+    n1 = read_signatures(spark, out).count()
     assert n1 == 25
 
     # second drop: only the new files are signed (exactly-once)
     spark.createDataFrame(pdf.iloc[25:]).write.mode("append").parquet(src)
     incremental_signatures(spark, src, out, ckpt, cfg)
-    stream_sigs = spark.read.parquet(out)
+    stream_sigs = read_signatures(spark, out)
     assert stream_sigs.count() == len(pdf)  # generator may overshoot n_rows
 
     # parity with the batch stage on the same rows
@@ -97,3 +100,13 @@ def test_incremental_signatures_match_batch(spark, tmp_path):
     a = stream_sigs.select("id", "minhash", "simhash").orderBy("id").collect()
     b = batch_sigs.select("id", "minhash", "simhash").orderBy("id").collect()
     assert a == b
+
+    # replay idempotency: re-running a committed batch (foreachBatch is
+    # at-least-once — a crash between sink write and checkpoint commit
+    # replays it) must not duplicate rows
+    from selfclean_spark.streaming.incremental import write_signature_batch
+
+    write_signature_batch(spark.createDataFrame(pdf.iloc[:25]), 0, out, cfg)
+    replayed = read_signatures(spark, out)
+    assert replayed.count() == len(pdf)
+    assert replayed.select("id", "minhash", "simhash").orderBy("id").collect() == b
