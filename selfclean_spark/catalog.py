@@ -130,6 +130,15 @@ class ParquetCatalog:
     def all_metrics(self) -> list[dict]:
         return self._load_manifest()["metrics"]
 
+    def rows_out(self, name: str) -> int | None:
+        """Recorded output row count of a completed stage (from the
+        manifest — no Spark job).  None if unknown or not yet patched."""
+        entry = self._load_manifest()["stages"].get(name)
+        if entry is None:
+            return None
+        n = entry.get("rows_out", -1)
+        return int(n) if n is not None and int(n) >= 0 else None
+
 
 class IcebergCatalog(ParquetCatalog):
     """Iceberg-backed variant: same protocol, ``writeTo``/``read.table``.

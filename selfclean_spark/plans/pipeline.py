@@ -262,6 +262,9 @@ class DedupPipeline:
         )
 
         # stage 4: verification --------------------------------------------
+        # rows_in comes from the candidates stage's manifest (patched by
+        # _run_stage's stats pass) — no extra count job over the checkpoint
+        cand_rows = self.catalog.rows_out("candidates")
         verified = self._run_stage(
             "verified_edges",
             lambda: (
@@ -269,7 +272,7 @@ class DedupPipeline:
                 {},
                 ["id_a"],
             ),
-            rows_in=candidates.count(),
+            rows_in=cand_rows if cand_rows is not None else candidates.count(),
             force=force,
         )
         if self.assert_invariants:
