@@ -8,8 +8,17 @@ parallelism), then runs the full dedup pipeline at both parallelism
 levels with fresh checkpoints, records files/sec, and checks the two
 runs' final components are byte-identical.
 
-Usage: python BENCH/run_scaling.py [n_rows] [low_cpus] [high_cpus]
+Usage: python BENCH/run_scaling.py [n_rows] [low_cpus] [high_cpus] [repeats]
 Writes BENCH/scaling.json and updates BENCH/BASELINE.md.
+
+Scratch placement: ``SPARK_GRAFT_SCRATCH`` picks where checkpoints and
+``spark.local.dir`` (shuffle spill) live.  Default is tmpfs
+(``/dev/shm``) when present: on this single-disk VM every worker
+thread shares ONE disk, so checkpoint+shuffle I/O is a fixed-size
+resource that caps measurable scaling — whereas on a real cluster each
+executor brings its own local disks (I/O scales with N, the thing the
+north rule measures).  tmpfs emulates per-executor disk bandwidth
+scaling; set SPARK_GRAFT_SCRATCH=disk to keep the single-disk layout.
 """
 
 from __future__ import annotations
@@ -30,6 +39,20 @@ from selfclean_spark.synth import synth_code_files_spark  # noqa: E402
 
 BENCH_DIR = os.path.dirname(os.path.abspath(__file__))
 DATA_DIR = os.path.join(BENCH_DIR, "data")
+
+
+def scratch_dir() -> str:
+    """Checkpoint/shuffle scratch root (see module docstring)."""
+    env = os.environ.get("SPARK_GRAFT_SCRATCH", "")
+    if env == "disk":
+        return BENCH_DIR
+    if env:
+        return env
+    if os.path.isdir("/dev/shm"):
+        d = "/dev/shm/selfclean_bench"
+        os.makedirs(d, exist_ok=True)
+        return d
+    return BENCH_DIR
 
 
 def ensure_corpus(n_rows: int, seed: int = 42) -> str:
@@ -54,15 +77,20 @@ def _cpu_times() -> tuple[int, int, int]:
 def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32) -> dict:
     """Identical shuffle partitioning for every parallelism level —
     scaling must come from cores, not from a different physical plan."""
+    scratch = scratch_dir()
+    local_dir = os.path.join(scratch, f"local_{tag}")
     spark = get_spark(
         f"bench-{tag}",
         master=f"local[{cpus}]",
-        extra_conf={"spark.sql.shuffle.partitions": str(shuffle_partitions)},
+        extra_conf={
+            "spark.sql.shuffle.partitions": str(shuffle_partitions),
+            "spark.local.dir": local_dir,
+        },
     )
     spark.sparkContext.setLogLevel("ERROR")
     code_files = spark.read.parquet(corpus_path)
     n = code_files.count()
-    root = os.path.join(BENCH_DIR, f"ckpt_{tag}")
+    root = os.path.join(scratch, f"ckpt_{tag}")
     shutil.rmtree(root, ignore_errors=True)
     pipe = DedupPipeline(spark, ParquetCatalog(spark, root), PipelineConfig())
     s0, b0, t0_cpu = _cpu_times()
@@ -118,6 +146,7 @@ def main() -> None:
     )
     out = {
         "n_rows": n_rows,
+        "scratch": scratch_dir(),
         "low": res_low,
         "high": res_high,
         "speedup": round(speedup, 3),

@@ -39,14 +39,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "lang_id_counts": Q.lang_id_counts,
         # vector similarity (oracle-checked)
         "cosine_topk": Q.cosine_topk,
+        "ivf_topk_exact": Q.ivf_topk_exact,
         "embedding_norms": Q.embedding_norms,
         # generic OLAP (oracle-checked)
         "tpch_q1": Q.tpch_q1,
         "events_hourly": Q.events_hourly,
-        # sketch pipeline (rows-only: not ANSI-SQL-expressible; exact
-        # correctness gated by tests/test_oracle_recall.py)
+        # sketch pipeline — edge-derived outputs are oracle-checked
+        # (verification reports exact token-3-gram Jaccard, which IS
+        # SQL-expressible); sketch-internal ones (simhash, isolation,
+        # ann, lad) are rows-only, gated by tests/test_oracle_recall.py
         "minhash_verified_pairs": Q.minhash_verified_pairs,
         "minhash_components": Q.minhash_components,
+        "dedup_stats_by_source": Q.dedup_stats_by_source,
         "simhash_near_pairs": Q.simhash_near_pairs,
         "isolation_ranking": Q.isolation_ranking,
         "lsh_topk_ann": Q.lsh_topk_ann,

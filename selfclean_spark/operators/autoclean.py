@@ -75,33 +75,56 @@ def fraction_cut(
     """
     if pair_scores:
         alpha = alpha**2  # :102-105
-    in_range = scores.filter(
-        (F.col(score_col) > 0) & (F.col(score_col) < 1)
-    ).withColumn("_logit", F.log(F.col(score_col) / (1.0 - F.col(score_col))))
-
-    counts = scores.agg(
-        F.count(F.lit(1)).alias("m_total"),
-        F.count(
-            F.when((F.col(score_col) > 0) & (F.col(score_col) < 1), 1)
-        ).alias("m_in"),
-    ).collect()[0]
-    m_total, m_in = int(counts["m_total"]), int(counts["m_in"])
-    if m_in < 2:
-        out = scores.withColumn("auto_issue", F.lit(False))
-        return out, FractionCut(float("-inf"), 0.0, 0.0, 0.0, 0.0, 0)
-
     p1 = alpha
     p2 = (0.5 * alpha) ** 0.5
-    if exact_quantiles is None:
-        exact_quantiles = m_in <= EXACT_QUANTILE_MAX_ROWS
-    if exact_quantiles:
-        row = in_range.agg(
-            F.expr(f"percentile(_logit, {p1})").alias("q1"),
-            F.expr(f"percentile(_logit, {p2})").alias("q2"),
+
+    in_range_pred = (F.col(score_col) > 0) & (F.col(score_col) < 1)
+    logit = F.log(F.col(score_col) / (1.0 - F.col(score_col)))
+
+    logit_if_in = (
+        f"if(({score_col} > 0) and ({score_col} < 1),"
+        f" ln({score_col} / (1.0 - {score_col})), null)"
+    )
+    if exact_quantiles is True:
+        # caller asserts the relation is small enough for exact
+        # percentile → ONE aggregation job: counts + both fit quantiles
+        # (percentile over the conditional logit ignores out-of-range
+        # nulls, so no separate filtered pass is needed)
+        row = scores.agg(
+            F.count(F.lit(1)).alias("m_total"),
+            F.count(F.when(in_range_pred, 1)).alias("m_in"),
+            F.expr(f"percentile({logit_if_in}, {p1})").alias("q1"),
+            F.expr(f"percentile({logit_if_in}, {p2})").alias("q2"),
         ).collect()[0]
+        m_total, m_in = int(row["m_total"]), int(row["m_in"])
+        if m_in < 2:
+            out = scores.withColumn("auto_issue", F.lit(False))
+            return out, FractionCut(float("-inf"), 0.0, 0.0, 0.0, 0.0, 0)
         q1, q2 = float(row["q1"]), float(row["q2"])
     else:
-        q1, q2 = in_range.stat.approxQuantile("_logit", [p1, p2], approx_rel_err)
+        # auto mode must learn m_in BEFORE deciding whether an exact
+        # percentile is safe (it buffers all values) — count first
+        counts = scores.agg(
+            F.count(F.lit(1)).alias("m_total"),
+            F.count(F.when(in_range_pred, 1)).alias("m_in"),
+        ).collect()[0]
+        m_total, m_in = int(counts["m_total"]), int(counts["m_in"])
+        if m_in < 2:
+            out = scores.withColumn("auto_issue", F.lit(False))
+            return out, FractionCut(float("-inf"), 0.0, 0.0, 0.0, 0.0, 0)
+        if exact_quantiles is None:
+            exact_quantiles = m_in <= EXACT_QUANTILE_MAX_ROWS
+        if exact_quantiles:
+            row = scores.agg(
+                F.expr(f"percentile({logit_if_in}, {p1})").alias("q1"),
+                F.expr(f"percentile({logit_if_in}, {p2})").alias("q2"),
+            ).collect()[0]
+            q1, q2 = float(row["q1"]), float(row["q2"])
+        else:
+            in_range = scores.filter(in_range_pred).withColumn("_logit", logit)
+            q1, q2 = in_range.stat.approxQuantile(
+                "_logit", [p1, p2], approx_rel_err
+            )
 
     scale = (q2 - q1) / (logistic_ppf(p2) - logistic_ppf(p1))
     loc = q1 - logistic_ppf(p1) * scale

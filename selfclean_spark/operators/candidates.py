@@ -99,10 +99,16 @@ def candidate_pairs(
     return pairs, dropped
 
 
-def exact_duplicate_pairs(ingested: DataFrame, pair_cap: int = 200) -> DataFrame:
+def exact_duplicate_pairs(id_sha: DataFrame, pair_cap: int = 200) -> DataFrame:
     """Verbatim duplicates via sha256 equality — the degenerate fast
     path (reference: planted exact duplicate must rank first with
     distance 0, tests/.../test_embedding_distance.py:22-40).
+
+    ``id_sha``: any relation carrying (id, content_sha).  Pass the
+    checkpointed SIGNATURE table, not the raw source — the signature
+    stage already computed and invariant-checked content_sha, so this
+    stage never re-reads content or re-hashes (at 100 TB that is the
+    difference between scanning 100 TB and scanning ~50 GB of digests).
 
     Groups of ≤ ``pair_cap`` members emit all m(m-1)/2 pairs (the full
     ranking the reference asserts); larger groups — the 10^6-copy
@@ -110,22 +116,32 @@ def exact_duplicate_pairs(ingested: DataFrame, pair_cap: int = 200) -> DataFrame
     linear in group size, same connected components, and the ranking
     still contains every member at distance 0 via its star edge.
     """
-    keyed = ingested.select("id", "content_sha")
-    sizes = keyed.groupBy("content_sha").agg(F.count(F.lit(1)).alias("n"))
-    dup_keys = sizes.filter(F.col("n") >= 2)
-    grouped = (
-        keyed.join(dup_keys, "content_sha", "inner")
-        .groupBy("content_sha", "n")
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+    keyed = id_sha.select("id", "content_sha")
+    sizes = keyed.groupBy("content_sha").agg(
+        F.count(F.lit(1)).alias("n"), F.min("id").alias("min_id")
     )
-    full = grouped.filter(F.col("n") <= pair_cap).select(
-        F.explode(F.expr(_PAIR_EXPANSION)).alias("p")
-    ).select("p.id_a", "p.id_b")
+    # small groups: collect ≤ pair_cap ids per task and expand all pairs
+    small_keys = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= pair_cap)
+    ).select("content_sha")
+    full = (
+        keyed.join(small_keys, "content_sha", "inner")
+        .groupBy("content_sha")
+        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
+        .select("p.id_a", "p.id_b")
+    )
+    # giant groups: NEVER collected — star edges come from joining each
+    # member against the group minimum (a 10^8-copy boilerplate group
+    # stays (10^8 rows × 16 bytes) spread across partitions, not one
+    # collect_list task)
     star = (
-        grouped.filter(F.col("n") > pair_cap)
-        .select(
-            F.element_at("ids", 1).alias("id_a"),
-            F.explode(F.slice("ids", 2, F.size("ids") - 1)).alias("id_b"),
+        keyed.join(
+            sizes.filter(F.col("n") > pair_cap).select("content_sha", "min_id"),
+            "content_sha",
+            "inner",
         )
+        .filter(F.col("id") != F.col("min_id"))
+        .select(F.col("min_id").alias("id_a"), F.col("id").alias("id_b"))
     )
     return full.unionByName(star)

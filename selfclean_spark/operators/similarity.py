@@ -180,6 +180,105 @@ def lsh_topk(
     )
 
 
+def ivf_centroids(
+    embeddings: DataFrame,
+    n_centroids: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> np.ndarray:
+    """Deterministic IVF coarse centroids: the ``n_centroids`` vectors
+    with the smallest ``xxhash64(id, seed)`` — a seeded uniform sample
+    that needs no iterative k-means (at 10^9+ vectors a hash-ordered
+    sample is one TakeOrdered job; k-means refinement can be layered on
+    later without changing the probe API).  L2-normalized rows."""
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64("id", F.lit(seed)), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    norms = np.linalg.norm(mat, axis=1, keepdims=True)
+    norms[norms == 0.0] = 1.0
+    return mat / norms
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int = 5,
+    n_centroids: int = 16,
+    n_probe: int = 4,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF (inverted-file) approximate top-k cosine neighbors — the
+    cell-partitioned scale path next to ``lsh_topk``'s sign-sketch one.
+
+    Index: every data vector is assigned to its nearest of
+    ``n_centroids`` coarse centroids (one vectorized matmul per Arrow
+    batch).  Search: each query probes its ``n_probe`` nearest cells
+    and reranks EXACTLY (native cosine) inside them.  With
+    ``n_probe == n_centroids`` the search is exhaustive and the result
+    equals exact :func:`cosine_topk` — that configuration is the
+    oracle-checked one; recall at ``n_probe < n_centroids`` is the
+    tested approximation knob.
+
+    At 10^9 vectors each query touches ~N·n_probe/n_centroids rows,
+    and the cell assignment shuffles ids only (vectors join back by
+    id) — the same candidates-only discipline as the text LSH path.
+    """
+    cents = ivf_centroids(embeddings, n_centroids, seed, id_col, vec_col)
+
+    @F.pandas_udf("int")
+    def nearest_cell(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cents.T  # (B, C)
+        return pd.Series(np.argmax(sims, axis=1).astype(np.int32))
+
+    n_probe_eff = min(n_probe, len(cents))
+
+    @F.pandas_udf(ArrayType(LongType()))
+    def probe_cells(vecs: pd.Series) -> pd.Series:
+        mat = np.stack(vecs.to_numpy()).astype(np.float64)
+        norms = np.linalg.norm(mat, axis=1, keepdims=True)
+        norms[norms == 0.0] = 1.0
+        sims = (mat / norms) @ cents.T
+        order = np.argsort(-sims, axis=1)[:, :n_probe_eff]
+        return pd.Series(list(order.astype(np.int64)))
+
+    cells = embeddings.select(
+        F.col(id_col).alias("neighbor_id"),
+        F.col(vec_col).alias("nvec"),
+        nearest_cell(F.col(vec_col)).cast("long").alias("cell"),
+    )
+    probes = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("qvec"),
+        F.explode(probe_cells(F.col(vec_col))).alias("cell"),
+    )
+    scored = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .withColumn("cosine", _cosine("qvec", "nvec"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("neighbor_id").asc()
+    )
+    return (
+        scored.withColumn("knn_rank", F.row_number().over(w))
+        .filter(F.col("knn_rank") <= k)
+        .select(
+            "query_id", "knn_rank", "neighbor_id",
+            F.round("cosine", 6).alias("cosine"),
+        )
+    )
+
+
 def embedding_cosine_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,

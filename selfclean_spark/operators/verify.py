@@ -222,9 +222,20 @@ def verify_candidates(
         )
     )
 
-    # shingle once per candidate doc; persisted because the pair plan
-    # joins it on both sides (a_side + b_side of the same table)
-    shingles = shingle_table(pairs, ingested, sig_cfg).persist(
+    # sha fast path: byte-identical content ⇒ identical shingle sets ⇒
+    # Jaccard exactly 1 — no shingling needed.  Real corpora are
+    # 30%+ verbatim duplicates, so this skips the Python shingle pass
+    # for every doc whose pairs are all exact copies.
+    same_sha = survivors.filter(F.col("sha_a") == F.col("sha_b")).select(
+        "*",
+        F.lit(1.0).alias("jaccard"),
+        F.lit(1.0).alias("containment"),
+    )
+    diff_sha = survivors.filter(F.col("sha_a") != F.col("sha_b"))
+
+    # shingle once per candidate doc appearing in a sha-differing pair;
+    # persisted because the pair plan joins it on both sides
+    shingles = shingle_table(diff_sha, ingested, sig_cfg).persist(
         StorageLevel.MEMORY_AND_DISK
     )
     sh_a = shingles.select(
@@ -237,11 +248,12 @@ def verify_candidates(
     na = F.size("sh_a").cast("double")
     nb = F.size("sh_b").cast("double")
     scored = (
-        survivors.join(sh_a, "id_a")
+        diff_sha.join(sh_a, "id_a")
         .join(sh_b, "id_b")
         .withColumn("jaccard", inter / (na + nb - inter))
         .withColumn("containment", inter / F.least(na, nb))
         .drop("sh_a", "sh_b")
+        .unionByName(same_sha)
     )
 
     base_cols = [

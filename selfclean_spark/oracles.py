@@ -112,6 +112,34 @@ reach(id, m) AS (
 SELECT id, min(m) AS component_id FROM reach GROUP BY 1
 """
 
+ORACLES["dedup_stats_by_source"] = f"""
+WITH RECURSIVE {_DOCS_EDGES_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM vpairs
+),
+reach(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (
+  SELECT id, min(m) AS component_id FROM reach GROUP BY 1
+),
+csizes AS (
+  SELECT component_id, count(*)::BIGINT AS csize FROM comp GROUP BY 1
+)
+SELECT d.source,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT c.component_id)::BIGINT AS n_clusters,
+       sum(CASE WHEN s.csize > 1 THEN 1 ELSE 0 END)::BIGINT AS dup_docs
+FROM documents d
+JOIN comp c ON c.id = d.doc_id
+JOIN csizes s USING (component_id)
+GROUP BY 1
+"""
+
 ORACLES["knn_edges_docs"] = f"""
 WITH {_DOCS_EDGES_CTE},
 per_node AS (
@@ -274,6 +302,10 @@ WITH q AS (
 SELECT query_id, rk::BIGINT AS knn_rank, neighbor_id, round(cos_raw, 6) AS cosine
 FROM ranked WHERE rk <= 5
 """
+
+# full-probe IVF search is exhaustive, so its truth set is the exact
+# brute-force top-k — identical SQL to cosine_topk
+ORACLES["ivf_topk_exact"] = ORACLES["cosine_topk"]
 
 ORACLES["embedding_norms"] = """
 SELECT vec_id, label,

@@ -38,7 +38,10 @@ from selfclean_spark.operators import ingest as ingest_ops
 from selfclean_spark.operators import ranking as rank_ops
 from selfclean_spark.operators import signatures as sig_ops
 from selfclean_spark.operators import verify as verify_ops
-from selfclean_spark.operators.autoclean import fraction_cut
+from selfclean_spark.operators.autoclean import (
+    EXACT_QUANTILE_MAX_ROWS,
+    fraction_cut,
+)
 from selfclean_spark.results import IssueManager, IssueTypes
 
 log = logging.getLogger(__name__)
@@ -243,9 +246,11 @@ class DedupPipeline:
             )
             extra = {"band_buckets": dropped_obs}
             # exact-dup pairs (sha equality) are injected so capped hot
-            # buckets can never lose verbatim duplicates
+            # buckets can never lose verbatim duplicates; sourced from
+            # the checkpointed signature table (narrow — no content
+            # re-read, no second sha256 pass over the corpus)
             exact = cand_ops.exact_duplicate_pairs(
-                ingested, pair_cap=cfg.band_bucket_cap
+                signatures, pair_cap=cfg.band_bucket_cap
             ).withColumn(
                 "n_bands_hit", F.lit(cfg.signature.lsh_bands)
             )
@@ -296,12 +301,20 @@ class DedupPipeline:
         }
         manager = IssueManager()
         fits = {}
+        # row counts for every ranking are already known from the stage
+        # manifests — pass the exact-vs-approx quantile choice explicitly
+        # so each fraction_cut runs its fused single-aggregation path
+        # instead of a count-then-quantile pair of jobs
+        edge_rows = self.catalog.rows_out("verified_edges") or 0
+        pair_exact = edge_rows <= EXACT_QUANTILE_MAX_ROWS
+        doc_exact = n_input <= EXACT_QUANTILE_MAX_ROWS
         if "near_duplicates" in wanted:
             near_dups = rank_ops.near_duplicate_ranking(verified, metadata)
             if cfg.auto_cleaning:
                 near_dups, fits["near_duplicates"] = fraction_cut(
                     near_dups, "dist", n_samples=n_input,
                     alpha=cfg.cleaner_alpha, q=cfg.cleaner_q, pair_scores=True,
+                    exact_quantiles=pair_exact,
                 )
             manager.register(IssueTypes.NEAR_DUPLICATES, near_dups)
             manager.register("knn_edges", rank_ops.knn_edges(verified))
@@ -311,6 +324,7 @@ class DedupPipeline:
                 isolation, fits["off_topic_samples"] = fraction_cut(
                     isolation, "score", n_samples=n_input,
                     alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
+                    exact_quantiles=doc_exact,
                 )
             manager.register(IssueTypes.OFF_TOPIC_SAMPLES, isolation)
             manager.register(
@@ -323,6 +337,7 @@ class DedupPipeline:
                 lang_mismatch, fits["label_errors"] = fraction_cut(
                     lang_mismatch, "score", n_samples=n_input,
                     alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
+                    exact_quantiles=doc_exact,
                 )
             manager.register(IssueTypes.LABEL_ERRORS, lang_mismatch)
         if fits:

@@ -199,6 +199,21 @@ def cosine_topk(spark, sf_dir):
     )
 
 
+def ivf_topk_exact(spark, sf_dir):
+    """IVF ANN at full probe (n_probe == n_centroids): exhaustive cell
+    search ⇒ exact cosine top-k, so the plumbing (centroid sample, cell
+    assignment, probe join, rerank) is DuckDB-oracle-checked against
+    the brute-force truth; the n_probe < n_centroids approximation is
+    gated by tests/test_operators.py recall assertions."""
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.filter(F.col("vec_id") < 10)
+    res = S.ivf_topk(e, q, k=5, n_centroids=8, n_probe=8)
+    return res.select(
+        "query_id", F.col("knn_rank").cast("long").alias("knn_rank"),
+        "neighbor_id", "cosine",
+    )
+
+
 def embedding_norms(spark, sf_dir):
     e = _t(spark, sf_dir, "embeddings")
     norm = F.sqrt(
@@ -277,6 +292,37 @@ def minhash_components(spark, sf_dir):
     comps, _ = comp_ops.connected_components(edges.select("id_a", "id_b"))
     universe = d.select(F.col("doc_id").alias("id"))
     return comp_ops.with_singletons(comps, universe)
+
+
+def dedup_stats_by_source(spark, sf_dir):
+    """Per-source dedup report over the LSH near-dup clusters — the
+    summary a training-data pipeline publishes per crawl source: how
+    many documents, how many distinct clusters, and how many documents
+    sit in a multi-member cluster (i.e. would be deduplicated away).
+
+    Oracle-checked: derives entirely from the verified edge set, which
+    is exact token-3-gram Jaccard at τ=0.5 (same SQL-expressibility
+    argument as ``minhash_verified_pairs``)."""
+    comps = minhash_components(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "source"
+    )
+    sizes = comps.groupBy("component_id").agg(
+        F.count(F.lit(1)).alias("csize")
+    )
+    return (
+        d.join(comps, "id")
+        .join(sizes, "component_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.countDistinct("component_id").alias("n_clusters"),
+            F.sum(F.when(F.col("csize") > 1, 1).otherwise(0))
+            .cast("long")
+            .alias("dup_docs"),
+        )
+        .orderBy("source")
+    )
 
 
 def simhash_near_pairs(spark, sf_dir):

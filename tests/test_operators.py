@@ -172,6 +172,39 @@ def test_lsh_topk_contains_true_neighbor(vecs):
     assert (0, 1) in got and (1, 0) in got
 
 
+@pytest.fixture(scope="module")
+def many_vecs(spark):
+    """60 vectors in 3 well-separated direction clusters + noise."""
+    rng = np.random.default_rng(17)
+    anchors = rng.standard_normal((3, 8)) * 4.0
+    rows = []
+    for i in range(60):
+        v = anchors[i % 3] + rng.standard_normal(8) * 0.3
+        rows.append((i, [float(x) for x in v]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_ivf_topk_full_probe_is_exact(many_vecs):
+    """n_probe == n_centroids ⇒ exhaustive ⇒ equal to brute force."""
+    q = many_vecs.filter("vec_id < 5")
+    exact = S.cosine_topk(many_vecs, q, k=3)
+    ivf = S.ivf_topk(many_vecs, q, k=3, n_centroids=6, n_probe=6)
+    want = {(r.query_id, r.knn_rank, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.knn_rank, r.neighbor_id) for r in ivf.collect()}
+    assert got == want
+
+
+def test_ivf_topk_partial_probe_recall(many_vecs):
+    """Clustered data: probing half the cells keeps high top-3 recall."""
+    q = many_vecs.filter("vec_id < 10")
+    exact = S.cosine_topk(many_vecs, q, k=3)
+    ivf = S.ivf_topk(many_vecs, q, k=3, n_centroids=6, n_probe=3)
+    want = {(r.query_id, r.neighbor_id) for r in exact.collect()}
+    got = {(r.query_id, r.neighbor_id) for r in ivf.collect()}
+    recall = len(want & got) / len(want)
+    assert recall >= 0.8, f"IVF recall {recall} below 0.8"
+
+
 def test_embedding_cosine_dup_pairs(vecs):
     pairs = {
         (r.id_a, r.id_b)
