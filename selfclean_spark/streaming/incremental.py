@@ -23,10 +23,12 @@ backfill results identical).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
-from selfclean_spark.config import SignatureConfig
+from selfclean_spark.config import PipelineConfig, SignatureConfig
+from selfclean_spark.operators import verify as verify_ops
 from selfclean_spark.operators.ingest import with_identity
-from selfclean_spark.operators.signatures import compute_signatures
+from selfclean_spark.operators.signatures import band_hashes, compute_signatures
 
 
 def read_signatures(spark: SparkSession, out_dir: str) -> DataFrame:
@@ -72,6 +74,117 @@ def incremental_signatures(
         write_signature_batch(batch_df, batch_id, out_dir, cfg)
 
     writer = stream.writeStream.foreachBatch(sign_batch).option(
+        "checkpointLocation", checkpoint_dir
+    )
+    if available_now:
+        query = writer.trigger(availableNow=True).start()
+        query.awaitTermination()
+        return query
+    return writer.start()
+
+
+# ------------------------------------------------------- incremental dedup
+
+
+def read_edges(spark: SparkSession, work_dir: str) -> DataFrame:
+    """All verified edges found so far (drops the batch layout column)."""
+    return spark.read.parquet(f"{work_dir}/edges").drop("batch")
+
+
+def dedup_batch(
+    spark: SparkSession,
+    batch_df: DataFrame,
+    batch_id: int,
+    source_dir: str,
+    work_dir: str,
+    cfg: PipelineConfig,
+) -> None:
+    """One incremental-dedup micro-batch:
+
+    1. sign + band-hash the NEW docs, land them under
+       ``signatures/batch=<id>`` and ``bands/batch=<id>`` (overwrite —
+       idempotent under foreachBatch replay);
+    2. LSH-join the new bands against the ACCUMULATED band index —
+       candidates always have ≥1 new endpoint (new×all, including
+       new×new; old×old pairs were emitted by their own batches);
+    3. exact verification via the shared batch kernel — old-side
+       content is re-read from the source directory semi-joined to
+       candidate ids (a content-addressable store on a real lake);
+    4. land verified edges under ``edges/batch=<id>``.
+
+    Hot-bucket safety: bucket sizes are counted over the FULL index
+    each batch, so a band bucket that grows past ``band_bucket_cap``
+    across batches stops expanding (same dropped-bucket semantics as
+    the batch path, evaluated on the accumulated state).
+    """
+    ingested_new = with_identity(batch_df)
+    sigs_new = compute_signatures(ingested_new, cfg.signature)
+    sigs_new.write.mode("overwrite").parquet(
+        f"{work_dir}/signatures/batch={batch_id}"
+    )
+    sigs_new = spark.read.parquet(f"{work_dir}/signatures/batch={batch_id}")
+    band_hashes(sigs_new, cfg.signature).write.mode("overwrite").parquet(
+        f"{work_dir}/bands/batch={batch_id}"
+    )
+
+    all_bands = spark.read.parquet(f"{work_dir}/bands")
+    keys = ["band_id", "band_hash"]
+    sizes = all_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    eligible = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= cfg.band_bucket_cap)
+    ).select(*keys)
+    new_side = (
+        spark.read.parquet(f"{work_dir}/bands/batch={batch_id}")
+        .join(eligible, keys)
+        .select(*keys, F.col("id").alias("id_new"))
+    )
+    all_side = all_bands.join(eligible, keys).select(
+        *keys, F.col("id").alias("id_other")
+    )
+    pairs = (
+        new_side.join(all_side, keys)
+        .filter(F.col("id_new") != F.col("id_other"))
+        .select(
+            "band_id",
+            F.least("id_new", "id_other").alias("id_a"),
+            F.greatest("id_new", "id_other").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        # countDistinct, not count: a within-batch pair appears in BOTH
+        # orientations of the new×all join, a cross-batch pair in one
+        .agg(F.countDistinct("band_id").alias("n_bands_hit"))
+    )
+    all_sigs = spark.read.parquet(f"{work_dir}/signatures").drop("batch")
+    ingested_all = with_identity(spark.read.parquet(source_dir))
+    edges = verify_ops.verify_candidates(pairs, ingested_all, all_sigs, cfg)
+    edges.write.mode("overwrite").parquet(f"{work_dir}/edges/batch={batch_id}")
+
+
+def incremental_dedup(
+    spark: SparkSession,
+    source_dir: str,
+    work_dir: str,
+    checkpoint_dir: str,
+    cfg: PipelineConfig | None = None,
+    schema=None,
+    available_now: bool = True,
+):
+    """Streaming near-duplicate detection against a growing corpus:
+    every micro-batch of new files is deduplicated against everything
+    seen so far (plus itself).  The union of per-batch edge sets equals
+    the batch pipeline's edge set on the full corpus (parity-tested) —
+    the same one-kernel/two-triggers discipline as
+    :func:`incremental_signatures`."""
+    cfg = cfg or PipelineConfig()
+    if schema is None:
+        schema = spark.read.parquet(source_dir).schema
+
+    stream = spark.readStream.schema(schema).parquet(source_dir)
+
+    def run_batch(batch_df, batch_id: int) -> None:
+        dedup_batch(spark, batch_df, batch_id, source_dir, work_dir, cfg)
+
+    writer = stream.writeStream.foreachBatch(run_batch).option(
         "checkpointLocation", checkpoint_dir
     )
     if available_now:
