@@ -92,21 +92,29 @@ def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32
     n = code_files.count()
     root = os.path.join(scratch, f"ckpt_{tag}")
     shutil.rmtree(root, ignore_errors=True)
-    pipe = DedupPipeline(spark, ParquetCatalog(spark, root), PipelineConfig())
+    catalog = ParquetCatalog(spark, root)
+    pipe = DedupPipeline(spark, catalog, PipelineConfig())
     s0, b0, t0_cpu = _cpu_times()
     t0 = time.time()
     manager = pipe.run(code_files)
-    n_edges = manager["verified_edges"].count()
-    n_comp = manager["components"].select("component_id").distinct().count()
+    # one fused reporting aggregation (count + distinct + fingerprint);
+    # edge count comes from the stage manifest (no extra job)
+    comp_stats = (
+        manager["components"]
+        .selectExpr(
+            "count(*) as n",
+            "count(distinct component_id) as n_comp",
+            "bit_xor(xxhash64(id, component_id)) as h",
+        )
+        .collect()[0]
+    )
     wall = time.time() - t0
+    n_edges = catalog.rows_out("verified_edges")
+    n_comp = int(comp_stats["n_comp"])
     s1, b1, t1_cpu = _cpu_times()
     steal_frac = (s1 - s0) / max(1, t1_cpu - t0_cpu)
     cores_busy = (b1 - b0) / max(1, t1_cpu - t0_cpu) * 32
-    comp_hash = (
-        manager["components"]
-        .selectExpr("bit_xor(xxhash64(id, component_id)) as h", "count(*) as n")
-        .collect()[0]
-    )
+    comp_hash = comp_stats
     spark.stop()
     return {
         "cpus": cpus,

@@ -27,7 +27,7 @@ is stable (deterministic, one tiny aggregate per round — no
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
@@ -37,6 +37,23 @@ def _fingerprint(edges: DataFrame) -> tuple[int, int]:
         F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
     ).collect()[0]
     return int(row["n"]), int(row["h"])
+
+
+def _checkpoint_with_fingerprint(
+    edges: DataFrame, tag: str
+) -> tuple[DataFrame, tuple[int, int]]:
+    """Materialize one CC round (localCheckpoint, cuts lineage) and
+    collect its convergence fingerprint DURING that same action via an
+    Observation — one job per round instead of two."""
+    obs = Observation(tag)
+    observed = edges.observe(
+        obs,
+        F.count(F.lit(1)).alias("n"),
+        F.coalesce(F.expr("bit_xor(xxhash64(u, v))"), F.lit(0)).alias("h"),
+    )
+    out = observed.localCheckpoint(eager=True)
+    got = obs.get
+    return out, (int(got["n"]), int(got["h"]))
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
@@ -89,8 +106,9 @@ def connected_components(
     prev_fp = (-1, -1)
     rounds = 0
     for rounds in range(1, max_iterations + 1):
-        cur = _small_star(_large_star(cur)).localCheckpoint(eager=True)
-        fp = _fingerprint(cur)
+        cur, fp = _checkpoint_with_fingerprint(
+            _small_star(_large_star(cur)), f"cc_round_{rounds}"
+        )
         if fp == prev_fp:
             break
         prev_fp = fp

@@ -300,7 +300,6 @@ class DedupPipeline:
             "near_duplicates", "off_topic_samples", "label_errors",
         }
         manager = IssueManager()
-        fits = {}
         # row counts for every ranking are already known from the stage
         # manifests — pass the exact-vs-approx quantile choice explicitly
         # so each fraction_cut runs its fused single-aggregation path
@@ -308,40 +307,53 @@ class DedupPipeline:
         edge_rows = self.catalog.rows_out("verified_edges") or 0
         pair_exact = edge_rows <= EXACT_QUANTILE_MAX_ROWS
         doc_exact = n_input <= EXACT_QUANTILE_MAX_ROWS
+
+        # rankings are registered as THUNKS (see IssueManager): global
+        # ranking needs an eager partition-count collect, so building a
+        # ranking nobody reads would add driver actions to every run —
+        # the reference likewise computes each issue at predict() time
+        # (selfclean_cleaner.py:182-213).  fraction_cut fits land in
+        # manager.meta["fits"] when the ranking is first accessed.
+        def _cut(ranked, col, pair, key):
+            if not cfg.auto_cleaning:
+                return ranked
+            ranked, fit = fraction_cut(
+                ranked, col, n_samples=n_input,
+                alpha=cfg.cleaner_alpha, q=cfg.cleaner_q, pair_scores=pair,
+                exact_quantiles=pair_exact if pair else doc_exact,
+            )
+            manager.meta.setdefault("fits", {})[key] = fit
+            return ranked
+
         if "near_duplicates" in wanted:
-            near_dups = rank_ops.near_duplicate_ranking(verified, metadata)
-            if cfg.auto_cleaning:
-                near_dups, fits["near_duplicates"] = fraction_cut(
-                    near_dups, "dist", n_samples=n_input,
-                    alpha=cfg.cleaner_alpha, q=cfg.cleaner_q, pair_scores=True,
-                    exact_quantiles=pair_exact,
-                )
-            manager.register(IssueTypes.NEAR_DUPLICATES, near_dups)
-            manager.register("knn_edges", rank_ops.knn_edges(verified))
+            manager.register(
+                IssueTypes.NEAR_DUPLICATES,
+                lambda: _cut(
+                    rank_ops.near_duplicate_ranking(verified, metadata),
+                    "dist", True, "near_duplicates",
+                ),
+            )
+            manager.register("knn_edges", lambda: rank_ops.knn_edges(verified))
         if "off_topic_samples" in wanted:
-            isolation = rank_ops.isolation_ranking(signatures, metadata)
-            if cfg.auto_cleaning:
-                isolation, fits["off_topic_samples"] = fraction_cut(
-                    isolation, "score", n_samples=n_input,
-                    alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
-                    exact_quantiles=doc_exact,
-                )
-            manager.register(IssueTypes.OFF_TOPIC_SAMPLES, isolation)
+            manager.register(
+                IssueTypes.OFF_TOPIC_SAMPLES,
+                lambda: _cut(
+                    rank_ops.isolation_ranking(signatures, metadata),
+                    "score", False, "off_topic_samples",
+                ),
+            )
             manager.register(
                 "quantile_isolation",
-                rank_ops.quantile_isolation_ranking(verified, ingested),
+                lambda: rank_ops.quantile_isolation_ranking(verified, ingested),
             )
         if "label_errors" in wanted:
-            lang_mismatch = rank_ops.lang_mismatch_ranking(verified, metadata)
-            if cfg.auto_cleaning:
-                lang_mismatch, fits["label_errors"] = fraction_cut(
-                    lang_mismatch, "score", n_samples=n_input,
-                    alpha=cfg.cleaner_alpha, q=cfg.cleaner_q,
-                    exact_quantiles=doc_exact,
-                )
-            manager.register(IssueTypes.LABEL_ERRORS, lang_mismatch)
-        if fits:
-            manager.meta["fits"] = fits
+            manager.register(
+                IssueTypes.LABEL_ERRORS,
+                lambda: _cut(
+                    rank_ops.lang_mismatch_ranking(verified, metadata),
+                    "score", False, "label_errors",
+                ),
+            )
         manager.register(IssueTypes.COMPONENTS, components)
         manager.register("verified_edges", verified)
         manager.register("signatures", signatures)

@@ -45,10 +45,19 @@ _ALIASES = {
 
 @dataclass
 class IssueManager:
+    """Rankings may be registered as THUNKS (zero-arg callables) and are
+    built on first access — ``DedupPipeline.run`` registers them lazily
+    so the stage pipeline's wall never pays for a ranking nobody reads
+    (the reference computes each issue at ``predict()`` time too,
+    selfclean_cleaner.py:182-213; an eager global-rank collect in the
+    constructor is a Spark anti-pattern)."""
+
     issues: dict[str, DataFrame] = field(default_factory=dict)
     meta: dict[str, dict] = field(default_factory=dict)
 
-    def register(self, issue_type: str | IssueTypes, df: DataFrame, **meta) -> None:
+    def register(self, issue_type: str | IssueTypes, df, **meta) -> None:
+        """``df``: a DataFrame, or a zero-arg callable returning one
+        (resolved and cached on first access)."""
         key = issue_type.value if isinstance(issue_type, IssueTypes) else issue_type
         self.issues[key] = df
         if meta:
@@ -60,7 +69,11 @@ class IssueManager:
     def __getitem__(self, issue_type: str | IssueTypes) -> DataFrame | None:
         key = issue_type.value if isinstance(issue_type, IssueTypes) else issue_type
         key = _ALIASES.get(key, key)
-        return self.issues.get(key)
+        val = self.issues.get(key)
+        if val is not None and callable(val) and not isinstance(val, DataFrame):
+            val = val()
+            self.issues[key] = val
+        return val
 
     def get_issues(
         self, issue_type: str | IssueTypes, return_as_df: bool = False
