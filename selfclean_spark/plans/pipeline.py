@@ -270,13 +270,32 @@ class DedupPipeline:
         # rows_in comes from the candidates stage's manifest (patched by
         # _run_stage's stats pass) — no extra count job over the checkpoint
         cand_rows = self.catalog.rows_out("candidates")
+
+        def build_verified():
+            edges = verify_ops.verify_candidates(
+                candidates, ingested, signatures, cfg
+            )
+            # verification-mix lineage rides the stage write (no extra
+            # job): how many edges came from the sha fast path vs exact
+            # shingle Jaccard vs the substring rescue
+            mix = Observation("verify_mix")
+            edges = edges.observe(
+                mix,
+                F.sum(
+                    F.when(F.col("sha_a") == F.col("sha_b"), 1).otherwise(0)
+                ).alias("exact_sha_edges"),
+                F.sum(
+                    F.when(
+                        F.col("substring") & (F.col("sha_a") != F.col("sha_b")), 1
+                    ).otherwise(0)
+                ).alias("substring_rescued"),
+                F.avg("jaccard").alias("mean_jaccard"),
+            )
+            return edges, {"verify_mix": mix}, ["id_a"]
+
         verified = self._run_stage(
             "verified_edges",
-            lambda: (
-                verify_ops.verify_candidates(candidates, ingested, signatures, cfg),
-                {},
-                ["id_a"],
-            ),
+            build_verified,
             rows_in=cand_rows if cand_rows is not None else candidates.count(),
             force=force,
         )
