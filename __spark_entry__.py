@@ -43,7 +43,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_norms": Q.embedding_norms,
         # generic OLAP (oracle-checked)
         "tpch_q1": Q.tpch_q1,
+        "tpch_q3": Q.tpch_q3,
         "events_hourly": Q.events_hourly,
+        "events_sessions": Q.events_sessions,
         # sketch pipeline — edge-derived outputs are oracle-checked
         # (verification reports exact token-3-gram Jaccard, which IS
         # SQL-expressible); sketch-internal ones (simhash, isolation,

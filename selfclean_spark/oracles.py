@@ -326,6 +326,51 @@ GROUP BY 1, 2
 ORDER BY 1, 2
 """
 
+ORACLES["tpch_q3"] = """
+WITH j AS (
+  SELECT l.l_orderkey,
+         strftime(o.o_orderdate, '%Y-%m-%d') AS o_orderdate,
+         o.o_orderpriority,
+         sum(l.l_extendedprice * (1 - l.l_discount)) AS rev
+  FROM lineitem l
+  JOIN orders o ON l.l_orderkey = o.o_orderkey
+  JOIN customer c ON o.o_custkey = c.c_custkey
+  WHERE c.c_mktsegment = 'BUILDING'
+    AND o.o_orderdate < TIMESTAMP '1998-01-01'
+    AND l.l_shipdate > TIMESTAMP '1998-01-01'
+  GROUP BY 1, 2, 3
+)
+SELECT l_orderkey, o_orderdate, o_orderpriority,
+       round(rev, 2) AS revenue
+FROM j
+ORDER BY rev DESC, l_orderkey ASC
+LIMIT 10
+"""
+
+ORACLES["events_sessions"] = """
+WITH e AS (
+  SELECT user_id, event_id, floor(epoch(ts))::BIGINT AS t FROM events
+), flagged AS (
+  SELECT user_id, event_id, t,
+         CASE WHEN lag(t) OVER w IS NULL
+                OR t - lag(t) OVER w > 1800 THEN 1 ELSE 0 END AS ns
+  FROM e
+  WINDOW w AS (PARTITION BY user_id ORDER BY t, event_id)
+), sess AS (
+  SELECT user_id,
+         sum(ns) OVER (PARTITION BY user_id ORDER BY t, event_id
+                       ROWS UNBOUNDED PRECEDING) AS session_id
+  FROM flagged
+), per_sess AS (
+  SELECT user_id, session_id, count(*)::BIGINT AS n FROM sess GROUP BY 1, 2
+)
+SELECT user_id,
+       count(*)::BIGINT AS n_sessions,
+       sum(n)::BIGINT AS n_events,
+       max(n)::BIGINT AS max_session_events
+FROM per_sess GROUP BY 1
+"""
+
 ORACLES["events_hourly"] = """
 SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
        event_type,

@@ -248,6 +248,41 @@ def tpch_q1(spark, sf_dir):
     )
 
 
+def tpch_q3(spark, sf_dir):
+    """Shipping-priority-style 3-way join (customer ⋈ orders ⋈
+    lineitem, segment + date predicates, top-10 revenue).  Catalyst
+    showcase: both filters push to the parquet scans, the customer dim
+    broadcasts under the 64 MB threshold, and the top-10 avoids a
+    single-partition global sort via orderBy+limit (TakeOrderedAndProject)."""
+    cust = _t(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = _t(spark, sf_dir, "orders").filter(
+        F.col("o_orderdate") < F.lit("1998-01-01")
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(
+        F.col("l_shipdate") > F.lit("1998-01-01")
+    )
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.sum(
+                F.col("l_extendedprice") * (1 - F.col("l_discount"))
+            ).alias("rev")
+        )
+        .orderBy(F.col("rev").desc(), F.col("l_orderkey").asc())
+        .limit(10)
+        .select(
+            "l_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            "o_orderpriority",
+            F.round("rev", 2).alias("revenue"),
+        )
+    )
+
+
 def events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
@@ -257,6 +292,37 @@ def events_hourly(spark, sf_dir):
             F.count(F.lit(1)).alias("n_events"),
             F.round(F.avg("value"), 6).alias("avg_value"),
         )
+    )
+
+
+def events_sessions(spark, sf_dir):
+    """Per-user sessionization (30-min inactivity gap): classic
+    lag-flag-cumsum window pattern; partition key = user_id so the
+    window never collapses to one task.  Timestamps are floored to
+    epoch seconds on both engines (shared tie-break: event_id)."""
+    # ts is TIMESTAMP_NTZ: route through TIMESTAMP (session tz is pinned
+    # UTC) to get epoch seconds — matches DuckDB's epoch() on naive ts
+    ev = _t(spark, sf_dir, "events").select(
+        "user_id",
+        "event_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    w = Window.partitionBy("user_id").orderBy("t", "event_id")
+    gap = F.col("t") - F.lag("t").over(w)
+    flagged = ev.withColumn(
+        "ns", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0)
+    )
+    cum = Window.partitionBy("user_id").orderBy("t", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    sess = flagged.withColumn("session_id", F.sum("ns").over(cum))
+    per_sess = sess.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    return per_sess.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_sessions"),
+        F.sum("n").cast("long").alias("n_events"),
+        F.max("n").alias("max_session_events"),
     )
 
 
