@@ -48,8 +48,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": Q.events_sessions,
         # sketch pipeline — edge-derived outputs are oracle-checked
         # (verification reports exact token-3-gram Jaccard, which IS
-        # SQL-expressible); sketch-internal ones (simhash, isolation,
-        # ann, lad) are rows-only, gated by tests/test_oracle_recall.py
+        # SQL-expressible), and simhash_near_pairs is checked against a
+        # bit-exact SimHash64 recomputed in DuckDB HUGEINT arithmetic;
+        # the rest (isolation, ann, lad, multimodal) are rows-only —
+        # approximate/driver-side by design, gated by
+        # tests/test_oracle_recall.py
         "minhash_verified_pairs": Q.minhash_verified_pairs,
         "minhash_components": Q.minhash_components,
         "dedup_stats_by_source": Q.dedup_stats_by_source,

@@ -379,3 +379,78 @@ SELECT strftime(date_trunc('hour', ts), '%Y-%m-%d %H:%M:%S') AS hour,
 FROM events
 GROUP BY 1, 2
 """
+
+
+# --------------------------------------------------------------------------
+# SimHash64 recomputed inside DuckDB — bit-exact twin of
+# ``functions.sketches``: FNV-1a per token, golden-ratio positional
+# combine of 3-token windows, splitmix64 finalize, Charikar bit-vote.
+# All mod-2^64 arithmetic runs in HUGEINT (128-bit): a 64-bit by 64-bit
+# product is split 32/32 so every intermediate stays < 2^97.  This makes
+# the sketch-internal fingerprint SQL-checkable, not just the verified
+# Jaccard outputs.  Cost at sf0.01 (500 docs): a few seconds.
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    m64 = "18446744073709551616::HUGEINT"
+    pows = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
+
+    def mm(a: str, c: int) -> str:
+        """(a * c) mod 2**64 for unsigned-hugeint expr ``a``, constant c."""
+        return (
+            f"((({a}) % 4294967296) * {c}::HUGEINT"
+            f" + ((({a}) // 4294967296) * {c}::HUGEINT % 4294967296)"
+            f" * 4294967296) % {m64}"
+        )
+
+    # golden-ratio weights G^1..G^3 mod 2^64 (token_shingles contract)
+    g1, g2, g3 = 11400714819323198485, 16088033396387240377, 6938460308862072877
+    mix1, mix2 = 13787848793156543929, 10723151780598845931  # splitmix64
+    return f"""
+WITH toks AS (
+  SELECT doc_id, CASE WHEN len(l) = 0 THEN [''] ELSE l END AS toks
+  FROM (SELECT doc_id,
+               list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS l
+        FROM documents)
+), th AS (
+  SELECT doc_id, list_transform(toks, t ->
+      list_reduce(
+        list_prepend(14695981039346656037::HUGEINT,
+          list_transform(range(1, length(t)+1), i -> ord(substr(t, i, 1))::HUGEINT)),
+        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % {m64}
+      )) AS th
+  FROM toks
+), padded AS (
+  SELECT doc_id, CASE WHEN len(th) >= 3 THEN th
+      ELSE list_concat(th, list_transform(range(3 - len(th)), x -> 0::HUGEINT)) END AS th
+  FROM th
+), comb AS (
+  SELECT doc_id, list_transform(range(1, len(th)-1), i ->
+      ({mm("th[i]", g1)} + {mm("th[i+1]", g2)} + {mm("th[i+2]", g3)}) % {m64}) AS s
+  FROM padded
+), s1 AS (SELECT doc_id, list_transform(s, x -> (x + {g1}::HUGEINT) % {m64}) AS s FROM comb
+), s2 AS (SELECT doc_id, list_transform(s, x -> xor(x, x // 1073741824)) AS s FROM s1
+), s3 AS (SELECT doc_id, list_transform(s, x -> {mm("x", mix1)}) AS s FROM s2
+), s4 AS (SELECT doc_id, list_transform(s, x -> xor(x, x // 134217728)) AS s FROM s3
+), s5 AS (SELECT doc_id, list_transform(s, x -> {mm("x", mix2)}) AS s FROM s4
+), s6 AS (SELECT doc_id, list_distinct(list_transform(s, x -> xor(x, x // 2147483648))) AS s FROM s5
+), fps AS (
+  SELECT doc_id,
+    list_sum(list_transform(range(0, 64), p ->
+      CASE WHEN 2*len(list_filter(s, v -> v // ({pows})[p+1] % 2 = 1)) >= len(s)
+           THEN ({pows})[p+1] ELSE 0::HUGEINT END)) AS fpu
+  FROM s6
+), signed AS (
+  SELECT doc_id,
+    CASE WHEN fpu >= 9223372036854775808::HUGEINT
+         THEN (fpu - {m64})::BIGINT ELSE fpu::BIGINT END AS fp
+  FROM fps
+)
+SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+       bit_count(xor(a.fp, b.fp))::INT AS hamming
+FROM signed a JOIN signed b ON a.doc_id < b.doc_id
+WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
+"""
+
+
+ORACLES["simhash_near_pairs"] = _simhash_pairs_sql(max_hamming=8)

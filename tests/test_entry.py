@@ -33,3 +33,26 @@ def test_query_runs(spark, name):
     df = fn(spark, SF_DIR)
     assert df.count() >= 0
     assert len(df.columns) > 0
+
+
+def test_simhash_oracle_parity(spark):
+    """The DuckDB HUGEINT SimHash twin reproduces the Spark sketch
+    bit-exactly: same (id_a, id_b, hamming) set at sf0.001."""
+    import duckdb
+
+    got = sorted(
+        tuple(r) for r in entry_mod.queries()["simhash_near_pairs"](
+            spark, SF_DIR
+        ).collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = sorted(
+        tuple(r) for r in con.execute(
+            entry_mod.oracle_sql()["simhash_near_pairs"]
+        ).fetchall()
+    )
+    assert got == want
