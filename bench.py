@@ -75,6 +75,9 @@ def main() -> None:
         dt = time.time() - t0
         timings[name] = round(dt, 3)
         total += dt
+        # queries are standalone: drop their intra-query persists so a
+        # leaked cache never charges memory pressure to the NEXT query
+        spark.catalog.clearCache()
 
     dedup_secs = timings["minhash_verified_pairs"] + timings["minhash_components"]
     print(

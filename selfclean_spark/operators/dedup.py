@@ -23,7 +23,18 @@ from selfclean_spark.operators import verify as verify_ops
 
 
 def _std(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    return df.select(F.col(id_col).alias("id"), F.col(text_col).alias("content"))
+    """Standardize to (id, content) — and make sure the downstream
+    Python sketch pass actually parallelizes: a small corpus read from
+    one parquet file/row-group arrives as ONE scan partition, which
+    would serialize every Arrow batch through a single task.  Fan such
+    inputs out to the default parallelism (round-robin, one narrow
+    shuffle of the tiny input).  At lake scale the scan has thousands
+    of splits and the condition never fires — no shuffle is added."""
+    std = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("content"))
+    sc = df.sparkSession.sparkContext
+    if std.rdd.getNumPartitions() < sc.defaultParallelism // 2:
+        std = std.repartition(sc.defaultParallelism)
+    return std
 
 
 def exact_dup_groups(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
@@ -135,10 +146,14 @@ def minhash_lsh_pairs(
     # the sketch mapInPandas is the expensive node and the plan reads it
     # three times (band hashing + both enrich sides) — persist so it
     # runs once per doc (the pipeline gets this for free from its
-    # signature checkpoint; standalone queries need the cache)
-    signatures = sig_ops.compute_signatures(std, cfg.signature).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # signature checkpoint; standalone queries need the cache).
+    # keep_shingles: verification reads the shingle arrays straight off
+    # this cached table — no second Python shingle pass, no content
+    # join (right trade here: standalone corpora use token mode where
+    # the array is about the size of the text)
+    signatures = sig_ops.compute_signatures(
+        std, cfg.signature, keep_shingles=True
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     bands = sig_ops.band_hashes(signatures, cfg.signature)
     pairs, _dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
     return verify_ops.verify_candidates(pairs, std, signatures, cfg)
@@ -174,10 +189,15 @@ def simhash_near_pairs(
     cfg = cfg or SignatureConfig()
     if n_tables is None:
         n_tables = max_hamming + 1
-    std = _std(df, id_col, text_col).withColumn(
-        "content_sha", F.sha2("content", 256)
+    std = _std(df, id_col, text_col)
+    # simhash-only kernel: skips MinHash-128 (and the sha projection —
+    # neither is consumed by this operator)
+    # persist: the narrow (id, simhash, block) table is read by the
+    # size-count, the capping join, and both pair sides — without the
+    # cache the Python sketch pass would re-run once per consumer
+    sigs = sig_ops.compute_simhash(std, cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
     )
-    sigs = sig_ops.compute_signatures(std, cfg).select("id", "simhash")
     width = 64 // n_tables
     blocks = sigs.select(
         "id",

@@ -45,13 +45,22 @@ SIGNATURE_SCHEMA = StructType(
 )
 
 
-def compute_signatures(ingested: DataFrame, cfg: SignatureConfig) -> DataFrame:
+def compute_signatures(
+    ingested: DataFrame, cfg: SignatureConfig, keep_shingles: bool = False
+) -> DataFrame:
     """(id, content_sha, content) → signatures table (FIXTURES.md §5).
 
     The UDF closure captures only the frozen config + permutation seeds
     (small, broadcast with the task); per batch it loops rows for the
     string→shingle step (inherently per-string) but every numeric step
     is a vectorized NumPy kernel.
+
+    ``keep_shingles`` additionally emits the hashed-shingle array so
+    verification never re-shingles.  Flip it only when shingle arrays
+    are comparable in size to the text (token mode over short docs):
+    for char 5-grams over 10 KB files the array is ~8× the content, so
+    the durable pipeline keeps the base schema and re-shingles just the
+    candidate subset instead (verify.shingle_table).
     """
     perm_seeds = sketches.minhash_seeds(cfg.num_perm, cfg.seed)
 
@@ -59,6 +68,7 @@ def compute_signatures(ingested: DataFrame, cfg: SignatureConfig) -> DataFrame:
         for pdf in batches:
             n = len(pdf)
             minhashes: list[np.ndarray] = [None] * n  # type: ignore[list-item]
+            shingle_arrays: list[np.ndarray] = [None] * n  # type: ignore[list-item]
             simhashes = np.empty(n, dtype=np.int64)
             n_shingles = np.empty(n, dtype=np.int32)
             contents = pdf["content"].to_numpy()
@@ -67,18 +77,27 @@ def compute_signatures(ingested: DataFrame, cfg: SignatureConfig) -> DataFrame:
                 n_shingles[i] = sh.size
                 minhashes[i] = sketches.minhash_signature(sh, perm_seeds)
                 simhashes[i] = sketches.simhash_signature(sh)
-            yield pd.DataFrame(
-                {
-                    "id": pdf["id"].to_numpy(),
-                    "content_sha": pdf["content_sha"].to_numpy(),
-                    "n_shingles": n_shingles,
-                    "minhash": minhashes,
-                    "simhash": simhashes,
-                }
-            )
+                if keep_shingles:
+                    shingle_arrays[i] = sh.view(np.int64)
+            out = {
+                "id": pdf["id"].to_numpy(),
+                "content_sha": pdf["content_sha"].to_numpy(),
+                "n_shingles": n_shingles,
+                "minhash": minhashes,
+                "simhash": simhashes,
+            }
+            if keep_shingles:
+                out["shingles"] = shingle_arrays
+            yield pd.DataFrame(out)
 
+    schema = SIGNATURE_SCHEMA
+    if keep_shingles:
+        schema = StructType(
+            SIGNATURE_SCHEMA.fields
+            + [StructField("shingles", ArrayType(LongType(), False), False)]
+        )
     pruned = ingested.select("id", "content_sha", "content")
-    return pruned.mapInPandas(sign_batches, schema=SIGNATURE_SCHEMA)
+    return pruned.mapInPandas(sign_batches, schema=schema)
 
 
 def band_hashes(signatures: DataFrame, cfg: SignatureConfig) -> DataFrame:
@@ -100,4 +119,34 @@ def band_hashes(signatures: DataFrame, cfg: SignatureConfig) -> DataFrame:
     return (
         signatures.select("id", bands.alias("bands"))
         .select("id", F.posexplode("bands").alias("band_id", "band_hash"))
+    )
+
+
+SIMHASH_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("simhash", LongType(), False),
+    ]
+)
+
+
+def compute_simhash(ingested: DataFrame, cfg: SignatureConfig) -> DataFrame:
+    """(id, content) → (id, simhash) only — for consumers that need the
+    64-bit fingerprint without paying the MinHash-128 kernel (which is
+    ~100× the per-shingle work of the single SimHash pass)."""
+
+    def sim_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            contents = pdf["content"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "id": pdf["id"].to_numpy(),
+                    "simhash": sketches.simhash_batch(
+                        [sketches.shingle(c, cfg) for c in contents]
+                    ),
+                }
+            )
+
+    return ingested.select("id", "content").mapInPandas(
+        sim_batches, schema=SIMHASH_SCHEMA
     )

@@ -233,11 +233,17 @@ def verify_candidates(
     )
     diff_sha = survivors.filter(F.col("sha_a") != F.col("sha_b"))
 
-    # shingle once per candidate doc appearing in a sha-differing pair;
-    # persisted because the pair plan joins it on both sides
-    shingles = shingle_table(diff_sha, ingested, sig_cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # shingle arrays: reuse the signature table's column when the
+    # caller kept it (compute_signatures(keep_shingles=True) — token
+    # mode / short docs), else shingle once per candidate doc appearing
+    # in a sha-differing pair; persisted because the pair plan joins it
+    # on both sides
+    if "shingles" in signatures.columns:
+        shingles = signatures.select("id", "shingles")
+    else:
+        shingles = shingle_table(diff_sha, ingested, sig_cfg).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
     sh_a = shingles.select(
         F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
     )

@@ -17,6 +17,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.functions import text as T
@@ -94,26 +95,35 @@ def ngram_jaccard_pairs(spark, sf_dir):
     toks = d.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= 3)  # sequence(1, n-2) reverses when n < 3
+    # shingles are hashed to 64-bit immediately: every downstream
+    # shuffle (df-cut, sizes, inverted-index self-join) moves longs,
+    # not ~30-byte strings.  Exact w.r.t. the string-level oracle
+    # absent xxhash64 collisions (the repo-wide hashed==string-shingle
+    # argument; P[collision] ≈ m²/2⁶⁵ ≈ 1e-9 at m = 4·10⁵ shingles).
     exploded = toks.select(
         "doc_id",
         F.explode(
             F.array_distinct(
                 F.transform(
                     F.sequence(F.lit(1), F.size("t") - 2),
-                    lambda i: F.concat_ws(
-                        " ",
-                        F.element_at("t", i),
-                        F.element_at("t", i + 1),
-                        F.element_at("t", i + 2),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            F.element_at("t", i),
+                            F.element_at("t", i + 1),
+                            F.element_at("t", i + 2),
+                        )
                     ),
                 )
             )
         ).alias("sh"),
     )
     freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    # persist: the capped index feeds sizes + both self-join sides —
+    # without the cache the tokenize/explode pass re-runs per consumer
     shingled = exploded.join(
         freq.filter(F.col("df") <= NGRAM_MAX_DOC_FREQ).select("sh"), "sh"
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.select(F.col("doc_id").alias("id_a"), "sh")
     b = shingled.select(F.col("doc_id").alias("id_b"), "sh")
