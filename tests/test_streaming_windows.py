@@ -1,0 +1,131 @@
+"""Watermark + stateful-streaming parity tests.
+
+Drive both operators with two file drops (two micro-batches) and
+compare against the batch engine on the union of the drops:
+
+* windowed counts — every emitted (window, event_type) row must equal
+  the full-corpus batch aggregate for that key, INCLUDING a planted
+  late event that arrives in drop 2 but belongs to a drop-1 window
+  (inside the watermark bound → merged before emission).
+* sessionization — the stateful per-user stats after both drops must
+  equal ``queries.events_sessions`` on the union, including a session
+  that SPANS the two drops (open state carried across the batch
+  boundary).
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from pyspark.sql import functions as F
+
+from selfclean_spark.streaming.windows import (
+    read_latest_sessions,
+    run_sessionize,
+    run_windowed_counts,
+)
+
+T0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+
+
+def _ev(uid, eid, minutes, etype="click", value=1.0):
+    return (uid, eid, T0 + dt.timedelta(minutes=minutes), etype, value)
+
+
+SCHEMA = "user_id long, event_id long, ts timestamp, event_type string, value double"
+
+# drop 1: hours 0-3.  drop 2: hours 4-6 plus one LATE event at minute
+# 95 (hour-1 window) — 3.5 h behind drop-2 max but within no watermark?
+# watermark delay is 2 h: wm after drop 2 = 06:30 - 2 h = 04:30, so the
+# hour-1 window [01:00, 02:00) is emitted AFTER the late event merged
+# (it emits at the END of drop-2's batch, watermark having advanced to
+# 02:00 after drop 1... emission uses the PREVIOUS batch's watermark,
+# so hour-0/1/2 windows close during drop 2 and include the late row).
+DROP1 = [
+    _ev(1, 1, 5), _ev(1, 2, 20),            # u1 session A (hour 0)
+    _ev(1, 3, 95),                           # u1 session B (hour 1)
+    _ev(2, 4, 10), _ev(2, 5, 130, "view"),   # u2 sessions (hours 0, 2)
+    _ev(1, 6, 185),                          # u1 session C start (hour 3)
+]
+DROP2 = [
+    _ev(1, 7, 195),            # u1: 10 min after event 6 → SAME session C
+    _ev(1, 8, 250),            # u1 session D (hour 4)
+    _ev(2, 9, 260, "view"),    # u2 session (hour 4)
+    # LATE event: belongs to the hour-1 window (watermark merge test).
+    # It is user 3's only event, so it does not violate the
+    # sessionizer's per-user in-order-across-batches contract
+    # (retro-inserting into closed session state is the watermarked
+    # window operator's territory, not O(1)-state sessionization).
+    _ev(3, 10, 95, "click"),
+    _ev(1, 11, 390),           # u1 (hour 6) — advances the watermark
+]
+
+
+def _write_drop(spark, rows, src):
+    spark.createDataFrame(rows, SCHEMA).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+
+def test_windowed_counts_emit_once_complete_with_late_data(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_drop(spark, DROP1, src)
+    run_windowed_counts(spark, src, out, ckpt, watermark_delay="2 hours")
+    _write_drop(spark, DROP2, src)
+    run_windowed_counts(spark, src, out, ckpt, watermark_delay="2 hours")
+
+    emitted = spark.read.parquet(out)
+    # batch truth over the UNION of drops
+    full = spark.createDataFrame(DROP1 + DROP2, SCHEMA)
+    truth = {
+        (r.window_start, r.event_type): (r.n_events, r.avg_value)
+        for r in (
+            full.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.round(F.avg("value"), 6).alias("avg_value"),
+            )
+            .select(F.col("w.start").alias("window_start"), "event_type",
+                    "n_events", "avg_value")
+            .collect()
+        )
+    }
+    rows = emitted.collect()
+    assert rows, "watermark never closed any window"
+    for r in rows:
+        assert truth[(r.window_start, r.event_type)] == (r.n_events, r.avg_value)
+    # the late event's window (hour 1) must be among the emitted rows,
+    # already including the late row (count 2: event 3 + late event 10)
+    hour1 = [r for r in rows if r.window_start == T0 + dt.timedelta(hours=1)]
+    assert sum(r.n_events for r in hour1) == 2
+    # exactly-once: no (window, event_type) emitted twice
+    keys = [(r.window_start, r.event_type) for r in rows]
+    assert len(keys) == len(set(keys))
+
+
+def test_stateful_sessionization_spans_batches(spark, tmp_path):
+    src, out, ckpt = (str(tmp_path / d) for d in ("src", "out", "ckpt"))
+    _write_drop(spark, DROP1, src)
+    run_sessionize(spark, src, out, ckpt)
+    _write_drop(spark, DROP2, src)
+    run_sessionize(spark, src, out, ckpt)
+
+    got = {
+        r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+        for r in read_latest_sessions(spark, out).collect()
+    }
+    # batch truth: the events_sessions logic on the union
+    from selfclean_spark import queries as Q
+
+    full_dir = str(tmp_path / "full")
+    spark.createDataFrame(DROP1 + DROP2, SCHEMA).write.parquet(
+        f"{full_dir}/events.parquet"
+    )
+    want = {
+        r.user_id: (r.n_sessions, r.n_events, r.max_session_events)
+        for r in Q.events_sessions(spark, full_dir).collect()
+    }
+    assert got == want
+    # the cross-drop session (events 6+7, 10-min gap over the batch
+    # boundary) must be ONE session: u1 has sessions A,B,C(6,7),D,(390)
+    assert got[1][0] == 5
