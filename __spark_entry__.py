@@ -35,6 +35,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "allpairs_jaccard_sample": Q.allpairs_jaccard_sample,
         # text analysis (oracle-checked)
         "doc_stats": Q.doc_stats,
+        "token_budget_stats": Q.token_budget_stats,
         "quality_by_source": Q.quality_by_source,
         "lang_id_counts": Q.lang_id_counts,
         # vector similarity (oracle-checked)

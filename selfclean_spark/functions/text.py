@@ -34,6 +34,30 @@ def token_count(col: str | Column) -> Column:
     )
 
 
+# GPT-2-style pre-tokenizer classes (contraction suffixes, letter runs,
+# digit runs, punctuation runs — each optionally space-prefixed), kept
+# lookahead-free and ASCII-classed so Java regex (Spark) and RE2
+# (DuckDB) agree construct-for-construct; both engines match
+# alternations leftmost-first, so counts are identical.
+BPE_TOKEN_PATTERN = (
+    r"'(?:s|t|re|ve|m|ll|d)"
+    r"| ?[A-Za-z]+"
+    r"| ?[0-9]+"
+    r"| ?[^A-Za-z0-9\s]+"
+    r"|\s+"
+)
+
+
+def bpe_token_count(col: str | Column) -> Column:
+    """Subword-ish token count: occurrences of the GPT-2-style
+    pre-tokenizer classes — the "BPE-ish regex" counter a training-data
+    pipeline budgets context length with (whitespace token_count stays
+    the linguistic doc-length measure; both are native regexp ops,
+    JVM-side)."""
+    c = F.col(col) if isinstance(col, str) else col
+    return F.regexp_count(c, F.lit(BPE_TOKEN_PATTERN))
+
+
 def avg_token_len(col: str | Column) -> Column:
     """Mean token length in characters (NULL for empty docs)."""
     toks = tokens(col)

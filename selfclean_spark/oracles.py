@@ -454,3 +454,24 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 
 
 ORACLES["simhash_near_pairs"] = _simhash_pairs_sql(max_hamming=8)
+
+
+def _bpe_pattern_sql() -> str:
+    """The BPE_TOKEN_PATTERN, SQL-single-quote-escaped (shared constant
+    — one source of truth for both engines)."""
+    from selfclean_spark.functions.text import BPE_TOKEN_PATTERN
+
+    return BPE_TOKEN_PATTERN.replace("'", "''")
+
+
+ORACLES["token_budget_stats"] = f"""
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\\s+')) END
+           )::BIGINT AS ws_tokens,
+       sum(len(regexp_extract_all(text, '{_bpe_pattern_sql()}')))::BIGINT
+           AS bpe_tokens
+FROM documents
+GROUP BY 1
+"""

@@ -159,6 +159,27 @@ def token_jaccard_pairs(spark, sf_dir):
 # Text analysis (oracle-checked)
 # --------------------------------------------------------------------------
 
+def token_budget_stats(spark, sf_dir):
+    """Per-source token budget: whitespace tokens (doc length) AND
+    GPT-2-style pre-tokenizer counts (context-length budgeting) — both
+    native regexp expressions, oracle-checked against DuckDB's RE2 on
+    the identical lookahead-free pattern."""
+    d = _t(spark, sf_dir, "documents")
+    return (
+        d.select(
+            "source",
+            T.token_count("text").alias("ws"),
+            T.bpe_token_count("text").alias("bpe"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("ws").cast("long").alias("ws_tokens"),
+            F.sum("bpe").cast("long").alias("bpe_tokens"),
+        )
+    )
+
+
 def doc_stats(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return d.select(

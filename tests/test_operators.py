@@ -247,3 +247,40 @@ def test_quality_score_range(spark):
     rows = {r.doc_id: r.q for r in df.select("doc_id", T.quality_score("text").alias("q")).collect()}
     assert 0.0 <= min(rows.values()) and max(rows.values()) <= 1.0
     assert rows[0] > rows[1]  # clean prose beats punctuation soup
+
+
+# -- connected components: pathological graph shapes --------------------------
+
+def test_cc_long_chain_converges_in_log_rounds(spark):
+    """A 1,000-node path graph is the worst case for label propagation
+    (diameter = n); large-star/small-star must still collapse it into
+    ONE component in O(log² n) rounds, not O(n)."""
+    from selfclean_spark.operators.components import connected_components
+
+    n = 1000
+    edges = spark.createDataFrame(
+        [(i, i + 1) for i in range(n - 1)], "id_a long, id_b long"
+    ).repartition(8)
+    comps, rounds = connected_components(edges)
+    rows = comps.collect()
+    assert {r.component_id for r in rows} == {0}
+    assert len(rows) == n
+    assert rounds <= 15, f"chain took {rounds} rounds (not logarithmic)"
+
+
+def test_cc_disjoint_cliques_and_star(spark):
+    from selfclean_spark.operators.components import connected_components
+
+    edges = []
+    # two 30-cliques offset by 1000, plus a 100-leaf star at 5000
+    for base in (0, 1000):
+        edges += [(base + i, base + j) for i in range(30) for j in range(i + 1, 30)]
+    edges += [(5000, 5000 + i) for i in range(1, 101)]
+    df = spark.createDataFrame(edges, "id_a long, id_b long").repartition(8)
+    comps, _ = connected_components(df)
+    by_comp = {}
+    for r in comps.collect():
+        by_comp.setdefault(r.component_id, set()).add(r.id)
+    assert by_comp[0] == set(range(30))
+    assert by_comp[1000] == {1000 + i for i in range(30)}
+    assert by_comp[5000] == {5000} | {5000 + i for i in range(1, 101)}
