@@ -143,13 +143,25 @@ def shingle_table(
     )
     docs = ingested.select("id", "content").join(ids, "id")
 
+    # OUTPUT rows are ~8× the input text in char mode (one int64 per
+    # char k-gram), so emitting one output batch per input batch would
+    # build ~200 MB Arrow batches at the default 2000-row input cap ×
+    # 32 local threads — the 8 GB-heap OOM observed at the 1M-file
+    # capacity run.  Chunked emission bounds each output record batch
+    # to ~chunk × avg_shingles × 8 B regardless of input batch size.
+    chunk = 256
+
     def shingle_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            contents = pdf["content"].to_numpy()
-            out = [
-                sketches.shingle(c, sig_cfg).view(np.int64) for c in contents
-            ]
-            yield pd.DataFrame({"id": pdf["id"].to_numpy(), "shingles": out})
+            for s in range(0, len(pdf), chunk):
+                sub = pdf.iloc[s : s + chunk]
+                out = [
+                    sketches.shingle(c, sig_cfg).view(np.int64)
+                    for c in sub["content"].to_numpy()
+                ]
+                yield pd.DataFrame(
+                    {"id": sub["id"].to_numpy(), "shingles": out}
+                )
 
     return docs.mapInPandas(shingle_batches, schema=_SHINGLE_SCHEMA)
 

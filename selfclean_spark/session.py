@@ -27,6 +27,13 @@ _DEFAULTS = {
     "spark.sql.files.maxPartitionBytes": "16m",
     "spark.sql.files.openCostInBytes": "1m",
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
+    # cached relations build COLUMNAR batches on-heap before spilling;
+    # the default 10,000-row batch is ~1 GB per concurrent task for
+    # wide array rows (char-gram shingle tables: ~100 KB/row), which
+    # OOMs a shared local-mode heap at the 1M-file capacity point.
+    # 1,000-row batches cap builder memory at ~100 MB/task; for narrow
+    # rows the extra per-batch overhead is noise.
+    "spark.sql.inMemoryColumnarStorage.batchSize": "1000",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
     "spark.sql.session.timeZone": "UTC",
