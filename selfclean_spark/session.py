@@ -29,10 +29,13 @@ _DEFAULTS = {
     "spark.sql.autoBroadcastJoinThreshold": str(64 * 1024 * 1024),
     # cached relations build COLUMNAR batches on-heap before spilling;
     # the default 10,000-row batch is ~1 GB per concurrent task for
-    # wide array rows (char-gram shingle tables: ~100 KB/row), which
-    # OOMs a shared local-mode heap at the 1M-file capacity point.
-    # 1,000-row batches cap builder memory at ~100 MB/task; for narrow
-    # rows the extra per-batch overhead is noise.
+    # wide array rows (char-gram shingle tables: ~100 KB/row) — the
+    # first OOM site of the 1M-file capacity run.  1,000-row batches
+    # cap the builder at ~100 MB/task (fine at cluster heap norms of
+    # 1-4 GB/core); for narrow rows the extra per-batch overhead is
+    # noise.  NOTE: heap must still scale with local thread count —
+    # local[32] at 13 KB/row needs ~1.5 GB/core (SPARK_DRIVER_MEM=48g),
+    # exactly what 32 cluster cores would be given.
     "spark.sql.inMemoryColumnarStorage.batchSize": "1000",
     "spark.driver.memory": os.environ.get("SPARK_DRIVER_MEM", "8g"),
     "spark.ui.enabled": "false",
