@@ -49,10 +49,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": Q.events_sessions,
         # sketch pipeline — edge-derived outputs are oracle-checked
         # (verification reports exact token-3-gram Jaccard, which IS
-        # SQL-expressible), and simhash_near_pairs is checked against a
-        # bit-exact SimHash64 recomputed in DuckDB HUGEINT arithmetic;
-        # the rest (isolation, ann, lad, multimodal) are rows-only —
-        # approximate/driver-side by design, gated by
+        # SQL-expressible); simhash_near_pairs and isolation_ranking
+        # are checked against SimHash64 / MinHash128+xxhash64 recomputed
+        # bit-exactly in DuckDB HUGEINT arithmetic; the remaining 3
+        # (ann, lad, multimodal) are rows-only — approximate,
+        # driver-side-sampled, or RNG-stub-based by design, gated by
         # tests/test_oracle_recall.py
         "minhash_verified_pairs": Q.minhash_verified_pairs,
         "minhash_components": Q.minhash_components,

@@ -391,23 +391,29 @@ GROUP BY 1, 2
 # Jaccard outputs.  Cost at sf0.01 (500 docs): a few seconds.
 
 
-def _simhash_pairs_sql(max_hamming: int = 8) -> str:
-    m64 = "18446744073709551616::HUGEINT"
-    pows = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
+_M64 = "18446744073709551616::HUGEINT"
+# golden-ratio weights G^1..G^3 mod 2^64 (token_shingles contract)
+_G1, _G2, _G3 = 11400714819323198485, 16088033396387240377, 6938460308862072877
+_MIX1, _MIX2 = 13787848793156543929, 10723151780598845931  # splitmix64
 
-    def mm(a: str, c: int) -> str:
-        """(a * c) mod 2**64 for unsigned-hugeint expr ``a``, constant c."""
-        return (
-            f"((({a}) % 4294967296) * {c}::HUGEINT"
-            f" + ((({a}) // 4294967296) * {c}::HUGEINT % 4294967296)"
-            f" * 4294967296) % {m64}"
-        )
 
-    # golden-ratio weights G^1..G^3 mod 2^64 (token_shingles contract)
-    g1, g2, g3 = 11400714819323198485, 16088033396387240377, 6938460308862072877
-    mix1, mix2 = 13787848793156543929, 10723151780598845931  # splitmix64
-    return f"""
-WITH toks AS (
+def _mm(a: str, c: int) -> str:
+    """(a * c) mod 2**64 for unsigned-hugeint expr ``a``, constant c —
+    the product is split 32/32 so every intermediate stays < 2^97."""
+    return (
+        f"((({a}) % 4294967296) * {c}::HUGEINT"
+        f" + ((({a}) // 4294967296) * {c}::HUGEINT % 4294967296)"
+        f" * 4294967296) % {_M64}"
+    )
+
+
+def _shingle_ctes() -> str:
+    """CTE chain ``toks → … → shingled(doc_id, s)``: the exact
+    token-3-shingle hash set of ``functions.sketches.token_shingles``
+    (FNV-1a per token, golden-ratio window combine, splitmix64,
+    distinct) as unsigned HUGEINTs.  Shared by the SimHash and
+    isolation oracles."""
+    return f"""toks AS (
   SELECT doc_id, CASE WHEN len(l) = 0 THEN [''] ELSE l END AS toks
   FROM (SELECT doc_id,
                list_filter(regexp_split_to_array(text, '\\s+'), t -> t <> '') AS l
@@ -417,7 +423,7 @@ WITH toks AS (
       list_reduce(
         list_prepend(14695981039346656037::HUGEINT,
           list_transform(range(1, length(t)+1), i -> ord(substr(t, i, 1))::HUGEINT)),
-        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % {m64}
+        (h, b) -> (xor(h, b) * 1099511628211::HUGEINT) % {_M64}
       )) AS th
   FROM toks
 ), padded AS (
@@ -426,24 +432,31 @@ WITH toks AS (
   FROM th
 ), comb AS (
   SELECT doc_id, list_transform(range(1, len(th)-1), i ->
-      ({mm("th[i]", g1)} + {mm("th[i+1]", g2)} + {mm("th[i+2]", g3)}) % {m64}) AS s
+      ({_mm("th[i]", _G1)} + {_mm("th[i+1]", _G2)} + {_mm("th[i+2]", _G3)}) % {_M64}) AS s
   FROM padded
-), s1 AS (SELECT doc_id, list_transform(s, x -> (x + {g1}::HUGEINT) % {m64}) AS s FROM comb
+), s1 AS (SELECT doc_id, list_transform(s, x -> (x + {_G1}::HUGEINT) % {_M64}) AS s FROM comb
 ), s2 AS (SELECT doc_id, list_transform(s, x -> xor(x, x // 1073741824)) AS s FROM s1
-), s3 AS (SELECT doc_id, list_transform(s, x -> {mm("x", mix1)}) AS s FROM s2
+), s3 AS (SELECT doc_id, list_transform(s, x -> {_mm("x", _MIX1)}) AS s FROM s2
 ), s4 AS (SELECT doc_id, list_transform(s, x -> xor(x, x // 134217728)) AS s FROM s3
-), s5 AS (SELECT doc_id, list_transform(s, x -> {mm("x", mix2)}) AS s FROM s4
-), s6 AS (SELECT doc_id, list_distinct(list_transform(s, x -> xor(x, x // 2147483648))) AS s FROM s5
-), fps AS (
+), s5 AS (SELECT doc_id, list_transform(s, x -> {_mm("x", _MIX2)}) AS s FROM s4
+), shingled AS (
+  SELECT doc_id, list_distinct(list_transform(s, x -> xor(x, x // 2147483648))) AS s FROM s5
+)"""
+
+
+def _simhash_pairs_sql(max_hamming: int = 8) -> str:
+    pows = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
+    return f"""
+WITH {_shingle_ctes()}, fps AS (
   SELECT doc_id,
     list_sum(list_transform(range(0, 64), p ->
       CASE WHEN 2*len(list_filter(s, v -> v // ({pows})[p+1] % 2 = 1)) >= len(s)
            THEN ({pows})[p+1] ELSE 0::HUGEINT END)) AS fpu
-  FROM s6
+  FROM shingled
 ), signed AS (
   SELECT doc_id,
     CASE WHEN fpu >= 9223372036854775808::HUGEINT
-         THEN (fpu - {m64})::BIGINT ELSE fpu::BIGINT END AS fp
+         THEN (fpu - {_M64})::BIGINT ELSE fpu::BIGINT END AS fp
   FROM fps
 )
 SELECT a.doc_id AS id_a, b.doc_id AS id_b,
@@ -454,6 +467,93 @@ WHERE bit_count(xor(a.fp, b.fp)) <= {max_hamming}
 
 
 ORACLES["simhash_near_pairs"] = _simhash_pairs_sql(max_hamming=8)
+
+
+# --------------------------------------------------------------------------
+# Anchor-distance isolation recomputed inside DuckDB — MinHash-128
+# (splitmix64 over xor-seeded shingles, min per permutation, the exact
+# ``sketches.minhash_signature`` family) PLUS Spark's xxhash64-of-long
+# (anchor selection) re-derived in HUGEINT arithmetic.  The heaviest
+# oracle (~2 min at sf0.01: |docs| × 128 perms × |shingles| splitmix
+# chains, all in SQL) — kept because it turns the last
+# deterministically-recomputable sketch query into a hard check.
+
+
+def _isolation_ranking_sql(n_anchors: int = 64) -> str:
+    import numpy as np
+
+    seeds = np.random.default_rng(42).integers(
+        0, 2**63, size=128, dtype=np.uint64
+    )  # == sketches.minhash_seeds(128, seed=42)
+    seeds_sql = "[" + ",".join(f"{int(s)}::HUGEINT" for s in seeds) + "]"
+    # xxHash64 primes (public constants) — Spark XxHash64 for one long
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    acc0 = (42 + p5 + 8) & ((1 << 64) - 1)  # seed=42, len=8 bytes
+
+    def rotl(x: str, r: int) -> str:
+        return (
+            f"((({x}) * {1 << r}::HUGEINT % {_M64})"
+            f" + (({x}) // {1 << (64 - r)}::HUGEINT))"
+        )
+
+    return f"""
+WITH {_shingle_ctes()}, sigs AS (
+  SELECT doc_id,
+    list_transform({seeds_sql}, sd ->
+      list_min(
+        list_transform(
+         list_transform(
+          list_transform(
+           list_transform(
+            list_transform(
+             list_transform(s, v -> (xor(v, sd) + {_G1}::HUGEINT) % {_M64}),
+             x -> xor(x, x // 1073741824)),
+            x -> {_mm("x", _MIX1)}),
+           x -> xor(x, x // 134217728)),
+          x -> {_mm("x", _MIX2)}),
+         x -> xor(x, x // 2147483648))
+      )) AS mh
+  FROM shingled
+), hx0 AS (
+  SELECT doc_id, mh,
+    {_mm(f"(CASE WHEN doc_id < 0 THEN doc_id::HUGEINT + {_M64}"
+         " ELSE doc_id::HUGEINT END)", p2)} AS k1
+  FROM sigs
+), hx1 AS (SELECT doc_id, mh, {_mm(rotl("k1", 31), p1)} AS k1m FROM hx0
+), hx2 AS (SELECT doc_id, mh, xor({acc0}::HUGEINT, k1m) AS acc FROM hx1
+), hx3 AS (SELECT doc_id, mh,
+    ({_mm(rotl("acc", 27), p1)} + {p4}::HUGEINT) % {_M64} AS acc FROM hx2
+), hx4 AS (SELECT doc_id, mh, xor(acc, acc // 8589934592) AS acc FROM hx3
+), hx5 AS (SELECT doc_id, mh, {_mm("acc", p2)} AS acc FROM hx4
+), hx6 AS (SELECT doc_id, mh, xor(acc, acc // 536870912) AS acc FROM hx5
+), hx7 AS (SELECT doc_id, mh, {_mm("acc", p3)} AS acc FROM hx6
+), hashed AS (
+  SELECT doc_id, mh,
+    CASE WHEN xor(acc, acc // 4294967296) >= 9223372036854775808::HUGEINT
+         THEN (xor(acc, acc // 4294967296) - {_M64})::BIGINT
+         ELSE xor(acc, acc // 4294967296)::BIGINT END AS xh
+  FROM hx7
+), anchors AS (
+  SELECT doc_id AS anchor_id, mh AS amh FROM hashed ORDER BY xh LIMIT {n_anchors}
+), agree AS (
+  SELECT h.doc_id AS id,
+         max(list_sum(list_transform(range(1, 129),
+             i -> CASE WHEN h.mh[i] = a.amh[i] THEN 1 ELSE 0 END)) / 128.0
+         ) AS best
+  FROM hashed h JOIN anchors a ON h.doc_id <> a.anchor_id
+  GROUP BY 1
+), scored AS (
+  SELECT id, 1.0 - best AS score FROM agree
+)
+SELECT row_number() OVER (ORDER BY score DESC, id ASC) AS rank,
+       id, round(score, 6) AS score
+FROM scored
+ORDER BY rank
+"""
+
+
+ORACLES["isolation_ranking"] = _isolation_ranking_sql(n_anchors=64)
 
 
 def _bpe_pattern_sql() -> str:

@@ -56,3 +56,27 @@ def test_simhash_oracle_parity(spark):
         ).fetchall()
     )
     assert got == want
+
+
+def test_isolation_oracle_parity(spark):
+    """The DuckDB MinHash-128 + xxhash64 twin reproduces the Spark
+    anchor-isolation ranking exactly (rank, id, rounded score) at
+    sf0.001."""
+    import duckdb
+
+    got = [
+        (r[0], r[1], float(r[2]))
+        for r in entry_mod.queries()["isolation_ranking"](spark, SF_DIR).collect()
+    ]
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    want = [
+        (r[0], r[1], float(r[2]))
+        for r in con.execute(
+            entry_mod.oracle_sql()["isolation_ranking"]
+        ).fetchall()
+    ]
+    assert got == want
