@@ -22,15 +22,26 @@ SURVEY.md §2.8).
 from __future__ import annotations
 
 import math
-from dataclasses import dataclass
+from dataclasses import dataclass, field
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
 
 
 def logistic_ppf(x: float) -> float:
     """scipy.stats.logistic.ppf closed form (loc 0, scale 1)."""
     return math.log(x / (1.0 - x))
+
+
+def _observation_ready(obs: Observation) -> bool:
+    """True iff the observed dataset already finished an action (so
+    ``obs.get`` will not block).  Uses the JVM Observation's
+    ``getOrEmpty`` probe; any reflection surprise degrades to False
+    (the caller then falls back to a count job)."""
+    try:
+        return not obs._jo.getOrEmpty().isEmpty()
+    except Exception:
+        return False
 
 
 @dataclass(frozen=True)
@@ -40,7 +51,24 @@ class FractionCut:
     q2: float
     loc: float
     scale: float
-    n_flagged: int
+    # lazy flagged-row count: rides the CALLER's first action over the
+    # returned DataFrame as an Observation (zero extra jobs in the
+    # normal materialize-then-inspect flow); reading it before any
+    # action falls back to one count job.
+    _n_flagged: int | None = None
+    _obs: Observation | None = field(default=None, repr=False, compare=False)
+    _flagged_df: DataFrame | None = field(default=None, repr=False, compare=False)
+
+    @property
+    def n_flagged(self) -> int:
+        if self._n_flagged is None:
+            n: int | None = None
+            if self._obs is not None and _observation_ready(self._obs):
+                n = int(self._obs.get["n_flagged"])
+            if n is None and self._flagged_df is not None:
+                n = self._flagged_df.filter(F.col("auto_issue")).count()
+            object.__setattr__(self, "_n_flagged", 0 if n is None else n)
+        return self._n_flagged
 
 
 # above this many in-range rows the two fit quantiles switch from exact
@@ -139,5 +167,11 @@ def fraction_cut(
             F.log(F.col(score_col) / (1.0 - F.col(score_col))) < F.lit(cutoff),
         ).otherwise(F.lit(False)),
     )
-    n_flagged = flagged.filter(F.col("auto_issue")).count()
-    return flagged, FractionCut(cutoff, q1, q2, loc, scale, n_flagged)
+    obs = Observation()
+    flagged = flagged.observe(
+        obs,
+        F.coalesce(
+            F.sum(F.col("auto_issue").cast("long")), F.lit(0)
+        ).alias("n_flagged"),
+    )
+    return flagged, FractionCut(cutoff, q1, q2, loc, scale, None, obs, flagged)

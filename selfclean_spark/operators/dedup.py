@@ -16,24 +16,41 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from selfclean_spark import caching
 from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.operators import candidates as cand_ops
 from selfclean_spark.operators import signatures as sig_ops
 from selfclean_spark.operators import verify as verify_ops
 
 
-def _std(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """Standardize to (id, content) — and make sure the downstream
-    Python sketch pass actually parallelizes: a small corpus read from
-    one parquet file/row-group arrives as ONE scan partition, which
-    would serialize every Arrow batch through a single task.  Fan such
-    inputs out to the default parallelism (round-robin, one narrow
-    shuffle of the tiny input).  At lake scale the scan has thousands
-    of splits and the condition never fires — no shuffle is added."""
+def _std(df: DataFrame, id_col: str, text_col: str, fanout: bool = False) -> DataFrame:
+    """Standardize to (id, content).
+
+    ``fanout=True`` — set ONLY by operators whose next stage is a
+    Python sketch pass (MinHash/SimHash ``mapInPandas``): a small
+    corpus read from one parquet file arrives as ONE scan partition,
+    which would serialize every Arrow batch through a single task, so
+    few-file inputs are fanned out to the default parallelism (one
+    narrow shuffle of the tiny input).  Native-only operators (exact
+    dedup, inverted-index joins) keep ``fanout=False``: whole-stage
+    codegen parallelizes via scan splits, and the unconditional
+    repartition measurably regressed ``exact_components`` in round 2.
+
+    The few-file probe uses ``df.inputFiles()`` (source metadata, no
+    job) instead of ``rdd.getNumPartitions()``, which forced a
+    DataFrame→RDD conversion per invocation.  At lake scale the scan
+    has thousands of files and the condition never fires; in-memory
+    test relations report no files and are left untouched (they are
+    already created with default parallelism)."""
     std = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("content"))
-    sc = df.sparkSession.sparkContext
-    if std.rdd.getNumPartitions() < sc.defaultParallelism // 2:
-        std = std.repartition(sc.defaultParallelism)
+    if fanout:
+        sc = df.sparkSession.sparkContext
+        try:
+            n_files = len(df.inputFiles())
+        except Exception:  # non-file sources: nothing to probe
+            n_files = 0
+        if 0 < n_files < sc.defaultParallelism // 2:
+            std = std.repartition(sc.defaultParallelism)
     return std
 
 
@@ -140,20 +157,26 @@ def minhash_lsh_pairs(
     LSH bands → candidate join → exact verification.  Returns
     verified_edges (id_a, id_b, jaccard, hamming, substring, dist)."""
     cfg = cfg or PipelineConfig()
-    std = _std(df, id_col, text_col).withColumn(
+    std = _std(df, id_col, text_col, fanout=True).withColumn(
         "content_sha", F.sha2("content", 256)
     )
     # the sketch mapInPandas is the expensive node and the plan reads it
     # three times (band hashing + both enrich sides) — persist so it
     # runs once per doc (the pipeline gets this for free from its
-    # signature checkpoint; standalone queries need the cache).
+    # signature checkpoint; standalone queries need the cache).  The
+    # persist is registered with ``caching`` so long-lived sessions can
+    # release it (caching.unpersist_all()) after materializing the
+    # returned plan — repeated operator calls otherwise accumulate
+    # block-manager entries.
     # keep_shingles: verification reads the shingle arrays straight off
     # this cached table — no second Python shingle pass, no content
     # join (right trade here: standalone corpora use token mode where
     # the array is about the size of the text)
-    signatures = sig_ops.compute_signatures(
-        std, cfg.signature, keep_shingles=True
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    signatures = caching.register_persist(
+        sig_ops.compute_signatures(
+            std, cfg.signature, keep_shingles=True
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     bands = sig_ops.band_hashes(signatures, cfg.signature)
     pairs, _dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
     return verify_ops.verify_candidates(pairs, std, signatures, cfg)
@@ -189,14 +212,15 @@ def simhash_near_pairs(
     cfg = cfg or SignatureConfig()
     if n_tables is None:
         n_tables = max_hamming + 1
-    std = _std(df, id_col, text_col)
+    std = _std(df, id_col, text_col, fanout=True)
     # simhash-only kernel: skips MinHash-128 (and the sha projection —
     # neither is consumed by this operator)
     # persist: the narrow (id, simhash, block) table is read by the
     # size-count, the capping join, and both pair sides — without the
     # cache the Python sketch pass would re-run once per consumer
-    sigs = sig_ops.compute_simhash(std, cfg).persist(
-        StorageLevel.MEMORY_AND_DISK
+    # (registered with ``caching`` — see minhash_lsh_pairs)
+    sigs = caching.register_persist(
+        sig_ops.compute_simhash(std, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     )
     width = 64 // n_tables
     blocks = sigs.select(

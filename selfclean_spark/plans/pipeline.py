@@ -323,8 +323,14 @@ class DedupPipeline:
         # manifests — pass the exact-vs-approx quantile choice explicitly
         # so each fraction_cut runs its fused single-aggregation path
         # instead of a count-then-quantile pair of jobs
-        edge_rows = self.catalog.rows_out("verified_edges") or 0
-        pair_exact = edge_rows <= EXACT_QUANTILE_MAX_ROWS
+        # an unknown edge count (manifest crash between checkpoint write
+        # and the stats patch leaves it unset) must NOT force the exact
+        # path — None lets fraction_cut's auto mode count first
+        edge_rows = self.catalog.rows_out("verified_edges")
+        pair_exact = (
+            None if edge_rows is None or edge_rows < 0
+            else edge_rows <= EXACT_QUANTILE_MAX_ROWS
+        )
         doc_exact = n_input <= EXACT_QUANTILE_MAX_ROWS
 
         # rankings are registered as THUNKS (see IssueManager): global

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
+from selfclean_spark import caching
 from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.functions import text as T
 from selfclean_spark.operators import dedup as D
@@ -41,6 +42,58 @@ DOCS_CFG = PipelineConfig(
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _docs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Verified near-dup edge set of the documents corpus at
+    ``DOCS_CFG`` — session-memoized: seven queries derive from this
+    exact edge table (pairs, components, per-source stats, kNN,
+    quantile isolation, the three reference-core rankings), so within
+    one SparkSession the sketch pipeline runs ONCE and later queries
+    read the persisted, already-materialized edges (VERDICT r2 #7)."""
+
+    def build() -> DataFrame:
+        d = _t(spark, sf_dir, "documents")
+        edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        edges.count()  # materialize now so the signature cache can go
+        caching.unpersist_all()  # release the operator-level persists
+        return edges
+
+    return caching.get_or_build("docs_edges", sf_dir, spark, build)
+
+
+def _docs_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over :func:`_docs_edges` (session-memoized
+    like the edges; includes singletons — one row per document)."""
+    from selfclean_spark.operators import components as comp_ops
+
+    def build() -> DataFrame:
+        edges = _docs_edges(spark, sf_dir)
+        comps, _ = comp_ops.connected_components(edges.select("id_a", "id_b"))
+        universe = _t(spark, sf_dir, "documents").select(
+            F.col("doc_id").alias("id")
+        )
+        full = comp_ops.with_singletons(comps, universe).persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+        full.count()
+        return full
+
+    return caching.get_or_build("docs_components", sf_dir, spark, build)
+
+
+def _docs_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents → the (id, repo, path, lang) metadata dimension the
+    ranking operators join (repo ≙ source, path ≙ doc_id string)."""
+    d = _t(spark, sf_dir, "documents")
+    return d.select(
+        F.col("doc_id").alias("id"),
+        F.col("source").alias("repo"),
+        F.col("doc_id").cast("string").alias("path"),
+        F.col("lang"),
+    )
 
 
 # --------------------------------------------------------------------------
@@ -121,9 +174,12 @@ def ngram_jaccard_pairs(spark, sf_dir):
     freq = exploded.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
     # persist: the capped index feeds sizes + both self-join sides —
     # without the cache the tokenize/explode pass re-runs per consumer
-    shingled = exploded.join(
-        freq.filter(F.col("df") <= NGRAM_MAX_DOC_FREQ).select("sh"), "sh"
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    # (registered for caching.unpersist_all — see selfclean_spark.caching)
+    shingled = caching.register_persist(
+        exploded.join(
+            freq.filter(F.col("df") <= NGRAM_MAX_DOC_FREQ).select("sh"), "sh"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
+    )
     sizes = shingled.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
     a = shingled.select(F.col("doc_id").alias("id_a"), "sh")
     b = shingled.select(F.col("doc_id").alias("id_b"), "sh")
@@ -373,8 +429,7 @@ def minhash_verified_pairs(spark, sf_dir):
     Oracle-checked: the output is exact Jaccard over token 3-shingles
     (hashed-shingle Jaccard == string-shingle Jaccard absent 64-bit
     collisions — same argument as ``allpairs_jaccard_sample``)."""
-    d = _t(spark, sf_dir, "documents")
-    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    edges = _docs_edges(spark, sf_dir)
     return edges.select(
         "id_a", "id_b", F.round("jaccard", 6).alias("jaccard"),
         F.round("dist", 6).alias("dist"),
@@ -382,13 +437,7 @@ def minhash_verified_pairs(spark, sf_dir):
 
 
 def minhash_components(spark, sf_dir):
-    from selfclean_spark.operators import components as comp_ops
-
-    d = _t(spark, sf_dir, "documents")
-    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
-    comps, _ = comp_ops.connected_components(edges.select("id_a", "id_b"))
-    universe = d.select(F.col("doc_id").alias("id"))
-    return comp_ops.with_singletons(comps, universe)
+    return _docs_components(spark, sf_dir)
 
 
 def dedup_stats_by_source(spark, sf_dir):
@@ -399,8 +448,10 @@ def dedup_stats_by_source(spark, sf_dir):
 
     Oracle-checked: derives entirely from the verified edge set, which
     is exact token-3-gram Jaccard at τ=0.5 (same SQL-expressibility
-    argument as ``minhash_verified_pairs``)."""
-    comps = minhash_components(spark, sf_dir)
+    argument as ``minhash_verified_pairs``).  Reads the session-cached
+    component table — after ``minhash_components`` in the same session
+    this recomputes NO sketches (VERDICT r2 #7)."""
+    comps = _docs_components(spark, sf_dir)
     d = _t(spark, sf_dir, "documents").select(
         F.col("doc_id").alias("id"), "source"
     )
@@ -493,8 +544,7 @@ def allpairs_jaccard_sample(spark, sf_dir):
 
 def knn_edges_docs(spark, sf_dir):
     """Per-document k nearest verified neighbors (O5 analog)."""
-    d = _t(spark, sf_dir, "documents")
-    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    edges = _docs_edges(spark, sf_dir)
     return rank_ops.knn_edges(edges, k=5).select(
         "id", F.col("knn_rank").cast("long").alias("knn_rank"),
         "neighbor_id", F.round("dist", 6).alias("dist"),
@@ -525,7 +575,7 @@ def lad_offtopic(spark, sf_dir):
 def quantile_isolation_docs(spark, sf_dir):
     """Per-row distance-quantile off-topic scorer (A4 analog)."""
     d = _t(spark, sf_dir, "documents")
-    edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+    edges = _docs_edges(spark, sf_dir)
     universe = d.select(F.col("doc_id").alias("id"))
     return rank_ops.quantile_isolation_ranking(edges, universe).select(
         "rank", "id", F.round("score", 6).alias("score")

@@ -26,6 +26,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from selfclean_spark.config import PipelineConfig, SignatureConfig
+from selfclean_spark.operators import candidates as cand_ops
 from selfclean_spark.operators import verify as verify_ops
 from selfclean_spark.operators.ingest import with_identity
 from selfclean_spark.operators.signatures import band_hashes, compute_signatures
@@ -107,15 +108,21 @@ def dedup_batch(
     2. LSH-join the new bands against the ACCUMULATED band index —
        candidates always have ≥1 new endpoint (new×all, including
        new×new; old×old pairs were emitted by their own batches);
-    3. exact verification via the shared batch kernel — old-side
+    3. inject sha-equality exact-duplicate pairs (restricted to pairs
+       with ≥1 new-batch endpoint) from the accumulated signature
+       table — mirroring ``DedupPipeline.build_candidates``, so a
+       family of identical docs larger than ``band_bucket_cap`` can
+       never lose verbatim duplicates to the hot-bucket cap;
+    4. exact verification via the shared batch kernel — old-side
        content is re-read from the source directory semi-joined to
        candidate ids (a content-addressable store on a real lake);
-    4. land verified edges under ``edges/batch=<id>``.
+    5. land verified edges under ``edges/batch=<id>``.
 
     Hot-bucket safety: bucket sizes are counted over the FULL index
     each batch, so a band bucket that grows past ``band_bucket_cap``
     across batches stops expanding (same dropped-bucket semantics as
-    the batch path, evaluated on the accumulated state).
+    the batch path, evaluated on the accumulated state), while the
+    exact-pair injection keeps verbatim duplicates cap-proof.
     """
     ingested_new = with_identity(batch_df)
     sigs_new = compute_signatures(ingested_new, cfg.signature)
@@ -155,6 +162,27 @@ def dedup_batch(
         .agg(F.countDistinct("band_id").alias("n_bands_hit"))
     )
     all_sigs = spark.read.parquet(f"{work_dir}/signatures").drop("batch")
+    # sha-equality exact-dup injection (≥1 new endpoint): identical docs
+    # beyond the band cap still pair — same guarantee as the batch path
+    exact = cand_ops.exact_duplicate_pairs(
+        all_sigs, pair_cap=cfg.band_bucket_cap
+    )
+    new_ids = sigs_new.select("id")
+    exact_new = (
+        exact.join(new_ids.withColumnRenamed("id", "id_a"), "id_a", "left_semi")
+        .unionByName(
+            exact.join(
+                new_ids.withColumnRenamed("id", "id_b"), "id_b", "left_semi"
+            )
+        )
+        .distinct()
+        .withColumn("n_bands_hit", F.lit(cfg.signature.lsh_bands).cast("long"))
+    )
+    pairs = (
+        pairs.unionByName(exact_new)
+        .groupBy("id_a", "id_b")
+        .agg(F.max("n_bands_hit").alias("n_bands_hit"))
+    )
     ingested_all = with_identity(spark.read.parquet(source_dir))
     edges = verify_ops.verify_candidates(pairs, ingested_all, all_sigs, cfg)
     edges.write.mode("overwrite").parquet(f"{work_dir}/edges/batch={batch_id}")
@@ -171,9 +199,19 @@ def incremental_dedup(
 ):
     """Streaming near-duplicate detection against a growing corpus:
     every micro-batch of new files is deduplicated against everything
-    seen so far (plus itself).  The union of per-batch edge sets equals
-    the batch pipeline's edge set on the full corpus (parity-tested) —
-    the same one-kernel/two-triggers discipline as
+    seen so far (plus itself).
+
+    Parity with the batch pipeline: under stable caps (no band bucket
+    crossing ``band_bucket_cap`` mid-stream) the union of per-batch
+    edge sets equals the batch edge set on the full corpus
+    (parity-tested).  When a bucket DOES cross the cap mid-stream, the
+    streaming union is a superset: earlier batches already emitted
+    pairs from the then-small bucket that a from-scratch batch run
+    drops entirely — dropped-bucket semantics are evaluated on the
+    accumulated state, never retroactively.  Every extra pair still
+    passed the same exact verification, and verbatim duplicates are
+    cap-proof on both paths via the sha-equality injection.  Same
+    one-kernel/two-triggers discipline as
     :func:`incremental_signatures`."""
     cfg = cfg or PipelineConfig()
     if schema is None:

@@ -26,6 +26,7 @@ tracks active keys, not history.
 
 from __future__ import annotations
 
+import logging
 from collections.abc import Iterator
 from typing import Any
 
@@ -96,6 +97,13 @@ def _session_update(
     event-time order per user (the file-drop ingest pattern); within a
     batch, order is restored by sorting — the gap test runs on the
     sorted sequence seeded with the carried ``last_t``.
+
+    Cross-batch late data — an event whose ``t`` precedes the carried
+    ``last_t`` — cannot be merged into an already-summarized session
+    and is DROPPED LOUDLY (counted + warning-logged), never silently
+    folded in: a negative gap would corrupt the session stats.  Sources
+    that need late-event merging belong on the watermarked
+    :func:`windowed_event_counts` path instead.
     """
     rows = pd.concat(list(batches), ignore_index=True)
     rows = rows.sort_values(["t", "event_id"], kind="mergesort")
@@ -107,6 +115,14 @@ def _session_update(
         last_t, n_sessions, n_events, max_closed, cur = (
             None, 0, 0, 0, 0,
         )
+
+    if last_t is not None and len(ts) and ts[0] < last_t:
+        late = ts < last_t
+        logging.getLogger(__name__).warning(
+            "sessionize: dropping %d cross-batch late event(s) for user %s "
+            "(t < carried last_t=%d)", int(late.sum()), key[0], last_t,
+        )
+        ts = ts[~late]
 
     for t in ts:
         new_session = last_t is None or (t - last_t) > SESSION_GAP_SECONDS
