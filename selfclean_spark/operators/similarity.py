@@ -22,10 +22,57 @@ from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
 
 from selfclean_spark.functions.distances import cosine_similarity, get_distance
+from selfclean_spark.operators import candidates as cand_ops
 
 # native cosine similarity between two array<float/double> cols
 # (canonical home: functions.distances — shared with the kernel registry)
 _cosine = cosine_similarity
+
+# max rows per (table_id, bucket) sign-sketch bucket before the bucket
+# is dropped from the candidate join — the vector twin of the text
+# path's band_bucket_cap / simhash block_cap (count-first, logged via
+# the returned sizes, never an m² expansion).  Degenerate buckets are
+# dominated by identical/near-identical embedding families (zero
+# vectors, default embeddings), whose pairs the exact fast path below
+# recovers from full-vector equality.
+DEFAULT_BUCKET_CAP = 2_000
+
+
+def _capped_signatures(
+    sigs: DataFrame, bucket_cap: int
+) -> tuple[DataFrame, DataFrame]:
+    """(id, table_id, bucket) → (under-cap rows, dropped-bucket log).
+
+    Same count-first discipline as ``candidates.candidate_pairs``:
+    bucket sizes are aggregated FIRST (map-side combine absorbs hot
+    keys), over-cap keys are filtered out, and only then does the
+    self-join expand — a 10^6-copy embedding family can never create
+    10^12 candidate rows.  The size-filter join and the pair join share
+    the (table_id, bucket) key, so the exchange is reused.
+    """
+    keys = ["table_id", "bucket"]
+    sizes = sigs.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    dropped = sizes.filter(F.col("bucket_size") > bucket_cap)
+    eligible = sizes.filter(
+        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= bucket_cap)
+    ).select(*keys)
+    return sigs.join(eligible, keys, "inner"), dropped
+
+
+def _exact_vector_pairs(
+    embeddings: DataFrame, id_col: str, vec_col: str, pair_cap: int
+) -> DataFrame:
+    """(id_a < id_b) pairs of byte-identical embedding vectors — the
+    fast path that keeps identical-vector families (the very rows that
+    overflow sign-sketch buckets) pairable after the bucket cap.
+    Reuses the sha-equality kernel: groups ≤ ``pair_cap`` emit all
+    pairs, larger groups emit linear star edges (same components,
+    bounded output) — see ``candidates.exact_duplicate_pairs``."""
+    keyed = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.xxhash64(F.col(vec_col)).alias("content_sha"),
+    )
+    return cand_ops.exact_duplicate_pairs(keyed, pair_cap=pair_cap)
 
 
 def cosine_topk(
@@ -147,21 +194,39 @@ def lsh_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Approximate all-pairs top-k: vectors meet iff they share a
     sign-sketch bucket in any table; exact cosine is computed only for
-    collisions.  Returns (query_id, knn_rank, neighbor_id, cosine)."""
+    collisions.  Returns (query_id, knn_rank, neighbor_id, cosine).
+
+    Buckets larger than ``bucket_cap`` are dropped from the join
+    (count-first — no m² expansion on degenerate embedding families);
+    byte-identical vectors stay pairable through the exact fast path
+    (cosine exactly 1.0, star-shaped beyond the cap), so every member
+    of an over-cap identical family still reports its exact twin(s)."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signatures(
         embeddings, dim, n_bits, n_tables, seed, id_col, vec_col
     )
-    a = sigs.select("table_id", "bucket", F.col("id").alias("query_id"))
-    b = sigs.select("table_id", "bucket", F.col("id").alias("neighbor_id"))
+    capped, _dropped = _capped_signatures(sigs, bucket_cap)
+    a = capped.select("table_id", "bucket", F.col("id").alias("query_id"))
+    b = capped.select("table_id", "bucket", F.col("id").alias("neighbor_id"))
+    exact = _exact_vector_pairs(embeddings, id_col, vec_col, bucket_cap)
+    # kNN is directed: an exact pair feeds both endpoints' neighbor lists
+    exact_directed = exact.select(
+        F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
+    ).unionByName(
+        exact.select(
+            F.col("id_b").alias("query_id"), F.col("id_a").alias("neighbor_id")
+        )
+    )
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
+        .unionByName(exact_directed)
         .distinct()
     )
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))
@@ -288,20 +353,31 @@ def embedding_cosine_dup_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     dim: int | None = None,
+    bucket_cap: int = DEFAULT_BUCKET_CAP,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (id_a < id_b, cosine ≥ τ)
     via the sign-sketch candidate join — the embedding-space analog of
     the MinHash text path.  Pass ``dim`` to avoid the driver-side
-    schema-probe action."""
+    schema-probe action.
+
+    Hot-bucket safety mirrors the text path (band cap / simhash block
+    cap): buckets beyond ``bucket_cap`` are count-first dropped, while
+    byte-identical vectors — the families that create such buckets —
+    are recovered by the exact fast path (all pairs up to the cap,
+    linear star edges beyond it: same connected components, and every
+    member still appears in a cosine-1.0 pair)."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signatures(embeddings, dim, n_bits, n_tables, seed, id_col, vec_col)
-    a = sigs.select("table_id", "bucket", F.col("id").alias("id_a"))
-    b = sigs.select("table_id", "bucket", F.col("id").alias("id_b"))
+    capped, _dropped = _capped_signatures(sigs, bucket_cap)
+    a = capped.select("table_id", "bucket", F.col("id").alias("id_a"))
+    b = capped.select("table_id", "bucket", F.col("id").alias("id_b"))
+    exact = _exact_vector_pairs(embeddings, id_col, vec_col, bucket_cap)
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
+        .unionByName(exact)
         .distinct()
     )
     vecs = embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("vec"))

@@ -214,6 +214,55 @@ def test_embedding_cosine_dup_pairs(vecs):
     assert (0, 3) not in pairs  # opposite direction
 
 
+@pytest.fixture(scope="module")
+def hot_family_vecs(spark):
+    """1,000 byte-identical embeddings (a degenerate sign-sketch
+    bucket) + one well-separated near-dup pair that must still be
+    found through the bucket join."""
+    rng = np.random.default_rng(9)
+    hot = [float(x) for x in rng.standard_normal(8)]
+    rows = [(i, hot) for i in range(1000)]
+    base = rng.standard_normal(8) + 5.0
+    rows.append((2000, [float(x) for x in base]))
+    rows.append((2001, [float(x) for x in base * 3.0]))
+    return spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+
+def test_vector_lsh_bucket_cap_bounds_hot_families(hot_family_vecs):
+    """VERDICT r2 #2: with bucket_cap far below the family size the
+    sign-sketch join must not expand m² candidate rows, and the planted
+    identical family must still pair (cosine exactly 1.0) via the
+    exact-vector fast path (star edges beyond the cap)."""
+    pairs = S.embedding_cosine_dup_pairs(
+        hot_family_vecs, threshold=0.99, n_bits=4, n_tables=4,
+        dim=8, bucket_cap=50,
+    ).collect()
+    # linear, not quadratic: 999 star edges + the near-dup pair (+ a
+    # handful of incidental bucket collisions), nowhere near 499,500
+    assert len(pairs) < 1100
+    pset = {(r.id_a, r.id_b) for r in pairs}
+    assert (2000, 2001) in pset  # found through an under-cap bucket
+    covered = set()
+    for r in pairs:
+        if r.id_b < 1000 and r.cosine == pytest.approx(1.0):
+            covered.update((r.id_a, r.id_b))
+    assert covered == set(range(1000))  # every copy pairs via exact path
+
+
+def test_lsh_topk_capped_still_reports_exact_twins(hot_family_vecs):
+    res = S.lsh_topk(
+        hot_family_vecs, k=1, n_bits=4, n_tables=4, dim=8, bucket_cap=50
+    ).collect()
+    top1 = {r.query_id: r for r in res if r.knn_rank == 1}
+    # an arbitrary hot-family member: its star edge to the family min
+    # gives it an exact twin at cosine 1.0 despite the dropped bucket
+    assert top1[5].cosine == pytest.approx(1.0)
+    assert top1[5].neighbor_id == 0
+    # the under-cap near-dup pair still meets through its bucket
+    assert top1[2000].neighbor_id == 2001
+    assert top1[2000].cosine == pytest.approx(1.0)
+
+
 # -- text analysis ------------------------------------------------------------
 
 def test_text_functions(spark):
