@@ -58,6 +58,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": Q.minhash_verified_pairs,
         "minhash_components": Q.minhash_components,
         "dedup_stats_by_source": Q.dedup_stats_by_source,
+        # the reference's three core product surfaces (r3: now on the
+        # hard-oracle surface — rank/fit math recomputed in SQL)
+        "near_dup_ranking": Q.near_dup_ranking,
+        "lang_mismatch_ranking": Q.lang_mismatch_ranking,
+        "auto_cut_flags": Q.auto_cut_flags,
         "simhash_near_pairs": Q.simhash_near_pairs,
         "isolation_ranking": Q.isolation_ranking,
         "lsh_topk_ann": Q.lsh_topk_ann,

@@ -228,11 +228,11 @@ def lang_mismatch_ranking(verified: DataFrame, metadata: DataFrame) -> DataFrame
         F.coalesce(F.min(F.when(F.col("same"), F.col("dist"))), F.lit(1.0)).alias("min_intra"),
         F.coalesce(F.min(F.when(~F.col("same"), F.col("dist"))), F.lit(1.0)).alias("min_extra"),
     )
-    scored = agg.withColumn(
-        "score",
-        (F.col("min_extra") ** 2)
-        / (F.col("min_intra") ** 2 + F.col("min_extra") ** 2),
-    )
+    # squares via multiplication, not pow(): bit-identical across
+    # engines (the DuckDB oracle twin computes the same products)
+    sq_extra = F.col("min_extra") * F.col("min_extra")
+    sq_intra = F.col("min_intra") * F.col("min_intra")
+    scored = agg.withColumn("score", sq_extra / (sq_intra + sq_extra))
     ranked = with_global_rank(
         scored, [F.col("score").asc(), F.col("id").asc()]
     )

@@ -173,6 +173,103 @@ per_node AS (
 SELECT rank::BIGINT AS rank, id, round(score, 6) AS score FROM ranked
 """
 
+ORACLES["near_dup_ranking"] = f"""
+WITH {_DOCS_EDGES_CTE},
+ranked AS (
+  SELECT row_number() OVER (ORDER BY (1.0 - j) ASC, id_a ASC, id_b ASC) AS rank,
+         id_a, id_b, 1.0 - j AS dist, j AS jaccard
+  FROM vpairs
+)
+SELECT r.rank::BIGINT AS rank, r.id_a, r.id_b,
+       round(r.dist, 6) AS dist, round(r.jaccard, 6) AS jaccard,
+       (da.text = db.text) AS substring,
+       da.source AS repo_a, CAST(r.id_a AS VARCHAR) AS path_a, da.lang AS lang_a,
+       db.source AS repo_b, CAST(r.id_b AS VARCHAR) AS path_b, db.lang AS lang_b
+FROM ranked r
+JOIN documents da ON da.doc_id = r.id_a
+JOIN documents db ON db.doc_id = r.id_b
+"""
+
+ORACLES["lang_mismatch_ranking"] = f"""
+WITH {_DOCS_EDGES_CTE},
+typed AS (
+  SELECT id_a, id_b, 1.0 - j AS dist,
+         (da.lang = db.lang) AS same
+  FROM vpairs
+  JOIN documents da ON da.doc_id = id_a
+  JOIN documents db ON db.doc_id = id_b
+), per_node AS (
+  SELECT id_a AS id, dist, same FROM typed
+  UNION ALL
+  SELECT id_b AS id, dist, same FROM typed
+), agg AS (
+  SELECT id,
+         coalesce(min(CASE WHEN same THEN dist END), 1.0) AS min_intra,
+         coalesce(min(CASE WHEN NOT same THEN dist END), 1.0) AS min_extra
+  FROM per_node GROUP BY 1
+), scored AS (
+  SELECT id, min_intra, min_extra,
+         (min_extra * min_extra)
+           / (min_intra * min_intra + min_extra * min_extra) AS score
+  FROM agg
+), ranked AS (
+  SELECT row_number() OVER (ORDER BY score ASC, id ASC) AS rank,
+         id, score, min_intra, min_extra
+  FROM scored
+)
+SELECT r.rank::BIGINT AS rank, r.id, round(r.score, 6) AS score,
+       round(r.min_intra, 6) AS min_intra, round(r.min_extra, 6) AS min_extra,
+       d.source AS repo, CAST(r.id AS VARCHAR) AS path, d.lang AS lang
+FROM ranked r JOIN documents d ON d.doc_id = r.id
+"""
+
+
+def _auto_cut_flags_sql(alpha: float = 0.3, q: float = 0.5) -> str:
+    """fraction_cut (auto_cleaning_mixin.py:91-154) as pure SQL over the
+    verified-edge distances: logit → two exact quantiles → logistic
+    two-point fit → tail cutoff → boolean flag.  The probability
+    constants (α² pair rescale, fit quantile positions, their logistic
+    ppf values, q·p1) are computed HERE in the same float64 ops the
+    Spark driver uses and inlined at full precision, so the only
+    engine-side float work is quantile interpolation + one ln per row —
+    and the tuned operating point keeps the cutoff ≥1e-3 logit units
+    from every data value."""
+    import math
+
+    p1 = alpha**2
+    p2 = (0.5 * alpha**2) ** 0.5
+    ppf1 = math.log(p1 / (1.0 - p1))
+    ppf2 = math.log(p2 / (1.0 - p2))
+    qp1 = q * p1
+    return f"""
+WITH {_DOCS_EDGES_CTE},
+sc AS (
+  SELECT id_a, id_b, 1.0 - j AS s FROM vpairs
+), st AS (
+  SELECT count(*)::DOUBLE AS m_total,
+         quantile_cont(CASE WHEN s > 0 AND s < 1 THEN ln(s / (1.0 - s)) END,
+                       {p1!r}) AS q1,
+         quantile_cont(CASE WHEN s > 0 AND s < 1 THEN ln(s / (1.0 - s)) END,
+                       {p2!r}) AS q2,
+         (SELECT count(*) FROM documents)::DOUBLE AS n_docs
+  FROM sc
+), fit AS (
+  SELECT q1, (q2 - q1) / ({ppf2!r} - {ppf1!r}) AS scale,
+         greatest(least({qp1!r} * n_docs / m_total, 1.0 - 1e-12), 1e-12) AS prob
+  FROM st
+), cut AS (
+  SELECT ln(prob / (1.0 - prob)) * scale + (q1 - {ppf1!r} * scale) AS cutoff
+  FROM fit
+)
+SELECT id_a, id_b, round(s, 6) AS dist,
+       (s > 0 AND s < 1 AND ln(s / (1.0 - s)) < (SELECT cutoff FROM cut))
+         AS auto_issue
+FROM sc
+"""
+
+
+ORACLES["auto_cut_flags"] = _auto_cut_flags_sql(alpha=0.3, q=0.5)
+
 ORACLES["embedding_dup_pairs"] = """
 WITH corpus AS (
   SELECT vec_id, embedding FROM embeddings

@@ -473,6 +473,78 @@ def dedup_stats_by_source(spark, sf_dir):
     )
 
 
+def near_dup_ranking(spark, sf_dir):
+    """THE reference product surface: the globally-ranked near-duplicate
+    pair table with metadata for both endpoints
+    (selfclean/cleaner/near_duplicates/embedding_distance_mixin.py:41-83
+    — full ascending sort of pair distances, indices mapped to paths).
+
+    Oracle-checked: rank = row_number over (dist ASC, id_a, id_b) on the
+    exact verified edge set (dist = 1 − exact Jaccard, bit-identical in
+    both engines); substring ≙ byte equality; metadata joined from
+    documents (repo ≙ source, path ≙ doc_id string)."""
+    edges = _docs_edges(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir)
+    ranked = rank_ops.near_duplicate_ranking(edges, meta)
+    return ranked.select(
+        "rank", "id_a", "id_b",
+        F.round("dist", 6).alias("dist"),
+        F.round("jaccard", 6).alias("jaccard"),
+        "substring",
+        "repo_a", "path_a", "lang_a", "repo_b", "path_b", "lang_b",
+    )
+
+
+def lang_mismatch_ranking(spark, sf_dir):
+    """The reference's label-error ranking (selfclean/cleaner/
+    label_errors/intra_extra_distance_mixin.py:12-43): per doc, min
+    verified-edge distance to a same-lang / different-lang neighbor,
+    score = min_extra²/(min_intra² + min_extra²), ascending (score→0 ⇒
+    a near-clone exists under a different lang).  Oracle-checked — the
+    whole derivation is closed-form SQL over the exact edge set."""
+    edges = _docs_edges(spark, sf_dir)
+    meta = _docs_meta(spark, sf_dir)
+    ranked = rank_ops.lang_mismatch_ranking(edges, meta)
+    return ranked.select(
+        "rank", "id", F.round("score", 6).alias("score"),
+        F.round("min_intra", 6).alias("min_intra"),
+        F.round("min_extra", 6).alias("min_extra"),
+        "repo", "path", "lang",
+    )
+
+
+# auto-cut operating point for the documents corpus (reference defaults
+# alpha=0.10/q=0.05 flag nothing at 25-edge test scale; these flag a
+# non-trivial fraction at sf0.001 AND sf0.01 with the cutoff far from
+# any logit value — shared contract with the SQL twin)
+AUTO_CUT_ALPHA = 0.3
+AUTO_CUT_Q = 0.5
+
+
+def auto_cut_flags(spark, sf_dir):
+    """The reference's auto-cleaning cut (selfclean/cleaner/
+    auto_cleaning_mixin.py:91-154) over the near-duplicate pair
+    distances: logit-transform the in-(0,1) scores, fit a logistic
+    through two empirical quantiles (α² pair rescale, :102-105), flag
+    scores below the fitted tail cutoff.  Oracle-checked: quantiles are
+    exact (percentile ↔ quantile_cont, identical linear interpolation)
+    and the fit/cutoff arithmetic is closed-form in both engines."""
+    from selfclean_spark.operators.autoclean import fraction_cut
+
+    d = _t(spark, sf_dir, "documents")
+    edges = _docs_edges(spark, sf_dir)
+    n_docs = d.count()
+    scores = edges.select("id_a", "id_b", "dist")
+    flagged, _fit = fraction_cut(
+        scores, "dist", n_samples=n_docs,
+        alpha=AUTO_CUT_ALPHA, q=AUTO_CUT_Q,
+        pair_scores=True, exact_quantiles=True,
+    )
+    return flagged.select(
+        "id_a", "id_b", F.round("dist", 6).alias("dist"), "auto_issue"
+    )
+
+
 def simhash_near_pairs(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     return D.simhash_near_pairs(

@@ -80,3 +80,36 @@ def test_isolation_oracle_parity(spark):
         ).fetchall()
     ]
     assert got == want
+
+
+@pytest.mark.parametrize(
+    "name", ["near_dup_ranking", "lang_mismatch_ranking", "auto_cut_flags"]
+)
+def test_reference_core_ranking_oracle_parity(spark, name):
+    """The reference's three core product surfaces (near-dup pair
+    ranking, label-error/lang-mismatch ranking, auto-cleaning cut —
+    r3's hard-oracle additions) match their DuckDB twins value-for-value
+    at sf0.001, under the driver's sorted-columns compare protocol."""
+    import duckdb
+
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    cols = sorted(sdf.columns)
+    got = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in (r[c] for c in cols))
+        for r in sdf.collect()
+    )
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    odf = con.execute(entry_mod.oracle_sql()[name]).fetch_df()
+    assert sorted(odf.columns) == cols
+    want = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in row)
+        for row in odf[cols].itertuples(index=False)
+    )
+    assert got == want
+    if name == "auto_cut_flags":  # the cut must be non-vacuous
+        flags = {bool(r.auto_issue) for r in sdf.collect()}
+        assert flags == {True, False}
