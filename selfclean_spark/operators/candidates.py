@@ -11,24 +11,27 @@ recall gate sub-quadratically.
 
 Physical design (one shuffle, no self-join):
 
-    bands (id, band_id, band_hash)          narrow, computed on the fly
-      → groupBy(band_id, band_hash)         THE shuffle
+    bands (id, band_hash)                   narrow, computed on the fly
+      → groupBy(band_hash)                  THE shuffle (16 B/row)
       → collect_list(id) per bucket         ≤ cap ids (1.6 KB at cap 200)
       → native pair expansion               transform/slice lambdas, JVM
       → groupBy(id_a, id_b) count           dedup across bands
 
-A self-equi-join formulation was measured to scan the signature table
-4× (band hashes recomputed per side and for the bucket-size filter);
-the bucket-explode form reads it once.  Buckets larger than
-``band_bucket_cap`` are emitted to a dropped-log instead of expanding
-(m² pairs from boilerplate/empty-file buckets) — never silent
-(SURVEY.md §4.2); rows in a dropped bucket still meet through their
-b-1 other bands, and verbatim duplicates are additionally guaranteed
-by the sha-equality fast path below.
+The band index is folded into ``band_hash`` by ``signatures.
+band_hashes`` (xxhash64 over (slice, band_id)), so the single long IS
+the bucket key — r3 dropped the redundant band_id column from the
+hottest exchange.  A self-equi-join formulation was measured to scan
+the signature table 4× (band hashes recomputed per side and for the
+bucket-size filter); the bucket-explode form reads it once.  Buckets
+larger than ``band_bucket_cap`` are emitted to a dropped-log instead
+of expanding (m² pairs from boilerplate/empty-file buckets) — never
+silent (SURVEY.md §4.2); rows in a dropped bucket still meet through
+their b-1 other bands, and verbatim duplicates are additionally
+guaranteed by the sha-equality fast path below.
 
-Skew: the shuffle key is (band_id, band_hash) — uniform by
-construction (xxhash64 of minhash slices); the cap bounds any residual
-value skew, AQE skew-join stays on as backstop for the later joins.
+Skew: the shuffle key is band_hash — uniform by construction (xxhash64
+of minhash slices); the cap bounds any residual value skew, AQE
+skew-join stays on as backstop for the later joins.
 """
 
 from __future__ import annotations
@@ -48,7 +51,7 @@ def candidate_pairs(
     band_bucket_cap: int,
     observation: Observation | None = None,
 ) -> tuple[DataFrame, DataFrame]:
-    """(id, band_id, band_hash) → (candidate pairs, dropped-bucket log).
+    """(id, band_hash) → (candidate pairs, dropped-bucket log).
 
     Hot-key safety: bucket sizes are counted FIRST (partial/map-side
     aggregation handles arbitrarily hot keys), over-cap keys are
@@ -68,12 +71,12 @@ def candidate_pairs(
     Returns
     -------
     pairs : DataFrame(id_a, id_b, n_bands_hit) with id_a < id_b, distinct.
-    dropped : DataFrame(band_id, band_hash, bucket_size) — buckets over
-        the cap, for callers that want the detailed sidecar (reading it
-        is a separate action; metrics-only callers should pass
+    dropped : DataFrame(band_hash, bucket_size) — buckets over the cap,
+        for callers that want the detailed sidecar (reading it is a
+        separate action; metrics-only callers should pass
         ``observation`` instead).
     """
-    keys = ["band_id", "band_hash"]
+    keys = ["band_hash"]
     sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
     if observation is not None:
         sizes = sizes.observe(
@@ -90,7 +93,11 @@ def candidate_pairs(
     pairs = (
         bands.join(eligible, keys, "inner")  # semi-shaped: eligible is distinct
         .groupBy(*keys)
-        .agg(F.sort_array(F.collect_list("id")).alias("ids"))
+        # no sort_array: the expansion orients every pair via
+        # least/greatest and the final groupBy dedups, so the output
+        # SET is identical for any list order — the per-bucket sort
+        # bought nothing (r3)
+        .agg(F.collect_list("id").alias("ids"))
         .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
         .select("p.id_a", "p.id_b")
         .groupBy("id_a", "id_b")

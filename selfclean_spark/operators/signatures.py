@@ -101,13 +101,17 @@ def compute_signatures(
 
 
 def band_hashes(signatures: DataFrame, cfg: SignatureConfig) -> DataFrame:
-    """signatures → (id, band_id, band_hash): the LSH index keys.
+    """signatures → (id, band_hash): the LSH index keys.
 
     Pure native expressions (JVM-side, codegen'd): ``slice`` each of the
     b bands out of the minhash array and ``xxhash64`` it together with
-    the band index so hashes never collide across bands.  posexplode of
-    a b-element array per row — output is b× rows but only 3 narrow
-    columns (SURVEY.md C14).
+    the band index.  Because the band index is folded INTO the hash,
+    the single ``band_hash`` long is the complete bucket key — hashes
+    from different bands land in different buckets by construction, so
+    no separate band_id column rides the shuffle (r3: dropping it cut
+    the candidates-stage shuffle row from 20 to 16 bytes, the hottest
+    exchange of the pipeline).  explode of a b-element array per row —
+    output is b× rows but only 2 narrow columns (SURVEY.md C14).
     """
     r = cfg.lsh_rows
     bands = F.array(
@@ -118,7 +122,7 @@ def band_hashes(signatures: DataFrame, cfg: SignatureConfig) -> DataFrame:
     )
     return (
         signatures.select("id", bands.alias("bands"))
-        .select("id", F.posexplode("bands").alias("band_id", "band_hash"))
+        .select("id", F.explode("bands").alias("band_hash"))
     )
 
 

@@ -135,7 +135,7 @@ def dedup_batch(
     )
 
     all_bands = spark.read.parquet(f"{work_dir}/bands")
-    keys = ["band_id", "band_hash"]
+    keys = ["band_hash"]
     sizes = all_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(
         (F.col("n") >= 2) & (F.col("n") <= cfg.band_bucket_cap)
@@ -152,14 +152,15 @@ def dedup_batch(
         new_side.join(all_side, keys)
         .filter(F.col("id_new") != F.col("id_other"))
         .select(
-            "band_id",
+            "band_hash",
             F.least("id_new", "id_other").alias("id_a"),
             F.greatest("id_new", "id_other").alias("id_b"),
         )
         .groupBy("id_a", "id_b")
         # countDistinct, not count: a within-batch pair appears in BOTH
         # orientations of the new×all join, a cross-batch pair in one
-        .agg(F.countDistinct("band_id").alias("n_bands_hit"))
+        # (band_hash ≙ bucket identity — the band index is folded in)
+        .agg(F.countDistinct("band_hash").alias("n_bands_hit"))
     )
     all_sigs = spark.read.parquet(f"{work_dir}/signatures").drop("batch")
     # sha-equality exact-dup injection (≥1 new endpoint): identical docs

@@ -41,8 +41,8 @@ def test_exact_dup_star_edges_for_giant_groups(spark):
 
 
 def test_candidate_hot_bucket_dropped_and_logged(spark):
-    rows = [(i, 0, 7777) for i in range(30)] + [(100, 1, 42), (101, 1, 42)]
-    bands = spark.createDataFrame(rows, "id long, band_id int, band_hash long")
+    rows = [(i, 7777) for i in range(30)] + [(100, 42), (101, 42)]
+    bands = spark.createDataFrame(rows, "id long, band_hash long")
     pairs, dropped = candidate_pairs(bands, band_bucket_cap=10)
     assert pairs.count() == 1  # only the small bucket pairs up
     d = dropped.collect()
