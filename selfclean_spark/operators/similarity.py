@@ -251,12 +251,23 @@ def ivf_centroids(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> np.ndarray:
     """Deterministic IVF coarse centroids: the ``n_centroids`` vectors
     with the smallest ``xxhash64(id, seed)`` — a seeded uniform sample
-    that needs no iterative k-means (at 10^9+ vectors a hash-ordered
-    sample is one TakeOrdered job; k-means refinement can be layered on
-    later without changing the probe API).  L2-normalized rows."""
+    (at 10^9+ vectors, one TakeOrdered job).  L2-normalized rows.
+
+    ``kmeans_iters > 0`` runs that many distributed spherical-k-means
+    Lloyd refinements on top of the sample: assign every vector to its
+    nearest centroid (one vectorized matmul per Arrow batch), average
+    per (cell, dimension) — a narrow native aggregation of exploded
+    (cell, dim, value) triples, C·D rows collected — renormalize.
+    Refinement tightens cells (better recall at the same n_probe) at
+    the cost of ``kmeans_iters`` extra jobs; note the per-cell float
+    averages are partition-order dependent at the ulp level, so
+    refined centroids are deterministic only for a fixed partitioning
+    (the hash-sample default is deterministic unconditionally — why it
+    stays the default and the oracle-checked configuration)."""
     rows = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64("id", F.lit(seed)), F.col("id"))
@@ -266,7 +277,40 @@ def ivf_centroids(
     mat = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
     norms = np.linalg.norm(mat, axis=1, keepdims=True)
     norms[norms == 0.0] = 1.0
-    return mat / norms
+    cents = mat / norms
+
+    for _ in range(kmeans_iters):
+        planes = cents  # closure snapshot for this round
+
+        @F.pandas_udf("int")
+        def assign(vecs: pd.Series) -> pd.Series:
+            m = np.stack(vecs.to_numpy()).astype(np.float64)
+            nrm = np.linalg.norm(m, axis=1, keepdims=True)
+            nrm[nrm == 0.0] = 1.0
+            return pd.Series(
+                np.argmax((m / nrm) @ planes.T, axis=1).astype(np.int32)
+            )
+
+        sums = (
+            embeddings.select(
+                assign(F.col(vec_col)).alias("cell"),
+                F.posexplode(F.col(vec_col)).alias("dim", "val"),
+            )
+            .groupBy("cell", "dim")
+            .agg(F.avg(F.col("val").cast("double")).alias("mean"))
+            .collect()
+        )
+        new = cents.copy()  # empty cells keep their previous centroid
+        got = {}
+        for r in sums:
+            got.setdefault(int(r["cell"]), {})[int(r["dim"])] = float(r["mean"])
+        for c, dims in got.items():
+            for d, v in dims.items():
+                new[c, d] = v
+        nrm = np.linalg.norm(new, axis=1, keepdims=True)
+        nrm[nrm == 0.0] = 1.0
+        cents = new / nrm
+    return cents
 
 
 def ivf_topk(
@@ -278,6 +322,7 @@ def ivf_topk(
     seed: int = 42,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    kmeans_iters: int = 0,
 ) -> DataFrame:
     """IVF (inverted-file) approximate top-k cosine neighbors — the
     cell-partitioned scale path next to ``lsh_topk``'s sign-sketch one.
@@ -295,7 +340,9 @@ def ivf_topk(
     and the cell assignment shuffles ids only (vectors join back by
     id) — the same candidates-only discipline as the text LSH path.
     """
-    cents = ivf_centroids(embeddings, n_centroids, seed, id_col, vec_col)
+    cents = ivf_centroids(
+        embeddings, n_centroids, seed, id_col, vec_col, kmeans_iters
+    )
 
     @F.pandas_udf("int")
     def nearest_cell(vecs: pd.Series) -> pd.Series:

@@ -89,6 +89,7 @@ def _session_update(
     key: tuple[Any, ...],
     batches: Iterator[pd.DataFrame],
     state: GroupState,
+    idle_timeout_ms: int | None = None,
 ) -> Iterator[pd.DataFrame]:
     """One user's new events (any order within the batch) + carried
     state → updated (n_sessions, n_events, max_session_events).
@@ -105,6 +106,15 @@ def _session_update(
     that need late-event merging belong on the watermarked
     :func:`windowed_event_counts` path instead.
     """
+    if state.hasTimedOut:
+        # idle-eviction path (bounded state): the user went quiet for
+        # idle_timeout_ms of processing time — drop the state row.  A
+        # later event from this user starts a FRESH session history,
+        # exactly like a first-seen user.
+        state.remove()
+        yield from ()
+        return
+
     rows = pd.concat(list(batches), ignore_index=True)
     rows = rows.sort_values(["t", "event_id"], kind="mergesort")
     ts = rows["t"].to_numpy()
@@ -137,6 +147,8 @@ def _session_update(
 
     state.update((int(last_t), int(n_sessions), int(n_events),
                   int(max_closed), int(cur)))
+    if idle_timeout_ms is not None:
+        state.setTimeoutDuration(idle_timeout_ms)
     yield pd.DataFrame(
         {
             "user_id": [key[0]],
@@ -147,7 +159,9 @@ def _session_update(
     )
 
 
-def sessionize_stream(events: DataFrame) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame, idle_timeout_ms: int | None = None
+) -> DataFrame:
     """Streaming (user_id, event_id, ts) → running per-user session
     stats, one updated row per user per batch (update mode).
 
@@ -155,18 +169,34 @@ def sessionize_stream(events: DataFrame) -> DataFrame:
     one O(1) row per user carried across micro-batches — the open
     session's length and last event time survive the batch boundary,
     so a session split across drops still counts once.
+
+    ``idle_timeout_ms`` bounds TOTAL state on unbounded user
+    populations: a user idle for that much processing time has their
+    state row evicted (ProcessingTimeTimeout), so state size tracks
+    recently-active users, not every user ever seen — the trade is
+    that a returning long-idle user restarts session history from
+    scratch (tested in test_streaming_windows).  None (default) keeps
+    exact lifetime semantics.
     """
     prepared = events.select(
         "user_id",
         "event_id",
         F.col("ts").cast("timestamp").cast("long").alias("t"),
     )
+
+    def update(key, batches, state):
+        return _session_update(key, batches, state, idle_timeout_ms)
+
     return prepared.groupBy("user_id").applyInPandasWithState(
-        _session_update,
+        update,
         outputStructType=SESSION_OUTPUT_SCHEMA,
         stateStructType=SESSION_STATE_SCHEMA,
         outputMode="update",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.ProcessingTimeTimeout
+            if idle_timeout_ms is not None
+            else GroupStateTimeout.NoTimeout
+        ),
     )
 
 
@@ -209,7 +239,14 @@ def run_sessionize(
     """Drain currently-visible event files through the stateful
     sessionizer; each batch's updated user rows land in a
     ``batch=<id>`` directory (idempotent under replay — same pattern
-    as incremental.write_signature_batch)."""
+    as incremental.write_signature_batch).
+
+    Always runs WITHOUT idle eviction: processing-time timeouts need a
+    continuously-running query to fire on (an availableNow drain would
+    spin extra timeout-only micro-batches after the data is consumed);
+    pass ``idle_timeout_ms`` to :func:`sessionize_stream` under a
+    processing-time trigger instead — see
+    tests/test_streaming_windows.py::test_sessionization_idle_timeout_evicts_state."""
     if schema is None:
         schema = spark.read.parquet(source_dir).schema
     stream = spark.readStream.schema(schema).parquet(source_dir)

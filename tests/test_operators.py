@@ -205,6 +205,66 @@ def test_ivf_topk_partial_probe_recall(many_vecs):
     assert recall >= 0.8, f"IVF recall {recall} below 0.8"
 
 
+@pytest.fixture(scope="module")
+def vecs_50k(spark):
+    """50,000 deterministic clustered vectors (64 direction clusters,
+    dim 32), generated distributed with per-id seeding so the corpus is
+    identical at any partitioning."""
+    import pandas as pd
+
+    dim, n_clusters = 32, 64
+    anchors = np.random.default_rng(9).standard_normal((n_clusters, dim)) * 4.0
+
+    def gen(batches):
+        for pdf in batches:
+            ids = pdf["id"].to_numpy()
+            vecs = []
+            for i in ids:
+                noise = np.random.default_rng(int(i)).standard_normal(dim)
+                vecs.append(
+                    [float(x) for x in anchors[int(i) % n_clusters] + noise * 0.5]
+                )
+            yield pd.DataFrame({"vec_id": ids, "embedding": vecs})
+
+    df = (
+        spark.range(50_000)
+        .mapInPandas(gen, "vec_id long, embedding array<double>")
+        .persist()
+    )
+    df.count()
+    yield df
+    df.unpersist()
+
+
+def test_ivf_recall_curve_50k(vecs_50k):
+    """VERDICT r2 #6: the IVF approximation knob at scale.  At 50k
+    vectors, recall vs exact top-10 must be ≥0.9 when probing 1/4 of
+    the cells, the recall curve must be monotone in n_probe, and two
+    Lloyd refinement iterations (kmeans_iters) must hold the 1/4-probe
+    gate too."""
+    q = vecs_50k.filter("vec_id < 20")
+    exact = {
+        (r.query_id, r.neighbor_id)
+        for r in S.cosine_topk(vecs_50k, q, k=10).collect()
+    }
+
+    def recall(n_probe, kmeans_iters=0):
+        got = {
+            (r.query_id, r.neighbor_id)
+            for r in S.ivf_topk(
+                vecs_50k, q, k=10, n_centroids=32, n_probe=n_probe,
+                kmeans_iters=kmeans_iters,
+            ).collect()
+        }
+        return len(exact & got) / len(exact)
+
+    r2, r8 = recall(2), recall(8)
+    assert r8 >= 0.9, f"recall at n_probe/n_centroids=1/4 is {r8}"
+    assert r8 >= r2, f"recall not monotone: probe2={r2} probe8={r8}"
+    r8_km = recall(8, kmeans_iters=2)
+    assert r8_km >= 0.9, f"k-means-refined recall {r8_km}"
+
+
 def test_embedding_cosine_dup_pairs(vecs):
     pairs = {
         (r.id_a, r.id_b)

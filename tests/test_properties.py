@@ -105,6 +105,8 @@ class _FakeState:
     def __init__(self):
         self._v = None
 
+    hasTimedOut = False  # off-Spark driving never exercises eviction
+
     @property
     def exists(self):
         return self._v is not None
@@ -115,6 +117,9 @@ class _FakeState:
 
     def update(self, v):
         self._v = v
+
+    def remove(self):
+        self._v = None
 
 
 def _batch_sessions(ts, gap=1800):
