@@ -54,12 +54,15 @@ def _docs_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     def build() -> DataFrame:
         d = _t(spark, sf_dir, "documents")
-        edges = D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # lazy persist: the CALLER's first action materializes the edge
+        # table into the cache (no extra count job here); the interior
+        # signature persist stays registered until caching.clear() /
+        # unpersist_all() — the documented session-cache lifecycle
+        return caching.register_persist(
+            D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
-        edges.count()  # materialize now so the signature cache can go
-        caching.unpersist_all()  # release the operator-level persists
-        return edges
 
     return caching.get_or_build("docs_edges", sf_dir, spark, build)
 
@@ -75,11 +78,14 @@ def _docs_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         universe = _t(spark, sf_dir, "documents").select(
             F.col("doc_id").alias("id")
         )
-        full = comp_ops.with_singletons(comps, universe).persist(
-            StorageLevel.MEMORY_AND_DISK
+        # the CC loop above already materialized the edge cache (its
+        # convergence actions); the component table itself caches on
+        # the caller's first action
+        return caching.register_persist(
+            comp_ops.with_singletons(comps, universe).persist(
+                StorageLevel.MEMORY_AND_DISK
+            )
         )
-        full.count()
-        return full
 
     return caching.get_or_build("docs_components", sf_dir, spark, build)
 

@@ -113,3 +113,24 @@ def test_reference_core_ranking_oracle_parity(spark, name):
     if name == "auto_cut_flags":  # the cut must be non-vacuous
         flags = {bool(r.auto_issue) for r in sdf.collect()}
         assert flags == {True, False}
+
+
+def test_session_cache_reuses_edge_pipeline(spark):
+    """VERDICT r2 #7: within one SparkSession, a second query deriving
+    from the documents edge set must NOT re-run the sketch pipeline —
+    the session memo serves the persisted components/edges.  Asserted
+    structurally: after minhash_components, the dedup_stats_by_source
+    plan reads an InMemoryRelation instead of containing the signature
+    mapInPandas stage."""
+    from selfclean_spark import caching
+
+    caching.clear()
+    try:
+        entry_mod.queries()["minhash_components"](spark, SF_DIR).count()
+        stats = entry_mod.queries()["dedup_stats_by_source"](spark, SF_DIR)
+        plan = stats._jdf.queryExecution().optimizedPlan().toString()
+        # the components relation arrives as a cache read (the memoized
+        # persisted table), not as a fresh sketch pipeline
+        assert "InMemoryRelation" in plan
+    finally:
+        caching.clear()
