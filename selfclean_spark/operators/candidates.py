@@ -9,28 +9,26 @@ hashes identically — probability 1-(1-s^r)^b of meeting at Jaccard s
 (≈0.99995 at s=0.8 with the default r=5/b=25), which buys the ≥0.99
 recall gate sub-quadratically.
 
-Physical design (one shuffle, no self-join):
+Physical design (one band shuffle, cached; codegen'd join expansion):
 
     bands (id, band_hash)                   narrow, computed on the fly
-      → groupBy(band_hash)                  THE shuffle (16 B/row)
-      → collect_list(id) per bucket         ≤ cap ids (1.6 KB at cap 200)
-      → native pair expansion               transform/slice lambdas, JVM
+      → repartition(band_hash) + persist    THE shuffle (16 B/row), once
+      → groupBy sizes / cap filter / SHJ self-join   all off the cache
+      → (id_a < id_b) raw pair stream       whole-stage codegen
       → groupBy(id_a, id_b) count           dedup across bands
 
 The band index is folded into ``band_hash`` by ``signatures.
-band_hashes`` (xxhash64 over (slice, band_id)), so the single long IS
-the bucket key — r3 dropped the redundant band_id column from the
-hottest exchange.  A self-equi-join formulation was measured to scan
-the signature table 4× (band hashes recomputed per side and for the
-bucket-size filter); the bucket-explode form reads it once.  Buckets
-larger than ``band_bucket_cap`` are emitted to a dropped-log instead
-of expanding (m² pairs from boilerplate/empty-file buckets) — never
-silent (SURVEY.md §4.2); rows in a dropped bucket still meet through
-their b-1 other bands, and verbatim duplicates are additionally
-guaranteed by the sha-equality fast path below.
+band_hashes`` (xxhash64 over the band's minhash elements + band_id),
+so the single long IS the bucket key — r3 dropped the redundant
+band_id column from the hottest exchange.  Buckets larger than
+``band_bucket_cap`` are emitted to a dropped-log instead of expanding
+(m² pairs from boilerplate/empty-file buckets) — never silent
+(SURVEY.md §4.2); rows in a dropped bucket still meet through their
+b-1 other bands, and verbatim duplicates are additionally guaranteed
+by the sha-equality fast path below.
 
 Skew: the shuffle key is band_hash — uniform by construction (xxhash64
-of minhash slices); the cap bounds any residual value skew, AQE
+of minhash values); the cap bounds any residual value skew, AQE
 skew-join stays on as backstop for the later joins.
 """
 
@@ -38,6 +36,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, Observation
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 _PAIR_EXPANSION = (
     "flatten(transform(ids, (x, i) -> "
@@ -46,38 +45,71 @@ _PAIR_EXPANSION = (
 )
 
 
-def candidate_pairs(
+def band_pair_stream(
     bands: DataFrame,
     band_bucket_cap: int,
     observation: Observation | None = None,
-) -> tuple[DataFrame, DataFrame]:
-    """(id, band_hash) → (candidate pairs, dropped-bucket log).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(id, band_hash) → RAW co-bucket pair stream, pre-deduplication.
 
-    Hot-key safety: bucket sizes are counted FIRST (partial/map-side
-    aggregation handles arbitrarily hot keys), over-cap keys are
-    filtered out, and only then does ``collect_list`` materialize a
-    bucket — so a degenerate key (empty files, license boilerplate at
-    10^6 copies) can never pull a multi-GB list into one task.  The
-    size-filter join and the collect groupBy share the same key, so
-    Catalyst reuses the exchange (one shuffle of ``bands`` total).
+    One output row per (pair, band) co-occurrence — callers that need
+    per-pair band counts aggregate downstream (``candidate_pairs``), and
+    callers that fuse other edge sources into the same pair-level
+    groupBy (the pipeline unions sha-equality exact edges) avoid paying
+    a second full shuffle of the pair set (r3: the
+    aggregate-union-aggregate chain was two sequential pair exchanges).
+
+    Physical shape (r3 rework, BENCH/profile_candidates.py):
+
+        bands → repartition(band_hash) → persist     THE shuffle, once
+          ├─ groupBy sizes (no exchange: co-partitioned)
+          ├─ SHJ size-filter join (bands ⋈ eligible keys)
+          └─ SHJ self-join  → (id_a < id_b) pairs
+
+    * The exploded band index is shuffled ONCE and cached; the size
+      count, the cap filter, and both self-join sides read the cache —
+      without it Catalyst re-derived the band hashes once per consumer
+      (4 scans of the signature table).  The cache is (id, band_hash) =
+      16 B/row × b bands — at 10⁹ files ≈ 400 GB spread over the
+      cluster, the same bytes the single exchange already wrote to
+      shuffle disk (MEMORY_AND_DISK: large deployments stream it from
+      local disk like a second shuffle read).
+    * Expansion is a codegen'd shuffled-hash self-equi-join, not
+      collect_list + nested transform/slice lambdas: higher-order
+      Catalyst lambdas evaluate interpreted PER ELEMENT, which at the
+      measured ~200× bucket amplification (27.8M co-bucket rows from
+      123k final pairs at the 300k bench corpus) made the expansion
+      itself the stage bottleneck — the join form streams the same
+      m(m-1)/2 pairs per bucket through whole-stage codegen at ~2× the
+      throughput, and the ``shuffle_hash`` hint keeps AQE from
+      broadcasting a multi-hundred-MB build side (the GC-thrash mode
+      measured with the default planner).
+    * Hot-key safety: bucket sizes are counted first and over-cap keys
+      filtered from BOTH join sides, so a degenerate key (empty files,
+      license boilerplate at 10^6 copies) contributes at most cap²
+      probe work and never materializes m² pairs.  Per-partition SHJ
+      build sides are bounded by the cap filter + uniform xxhash64
+      keys; AQE skew handling stays on as backstop.
 
     ``observation``: an optional ``pyspark.sql.Observation`` attached to
-    the bucket-size relation INSIDE the pairs plan — after the caller's
-    first action over ``pairs`` it yields ``dropped_band_buckets`` and
-    ``max_bucket_size`` with zero extra jobs (the dropped-log count used
-    to be a second action over a persisted sizes table; the observation
-    removes both the action and the persist from the hot path).
+    the bucket-size relation INSIDE the plan — after the caller's first
+    action it yields ``dropped_band_buckets`` and ``max_bucket_size``
+    with zero extra jobs.
 
-    Returns
-    -------
-    pairs : DataFrame(id_a, id_b, n_bands_hit) with id_a < id_b, distinct.
-    dropped : DataFrame(band_hash, bucket_size) — buckets over the cap,
-        for callers that want the detailed sidecar (reading it is a
-        separate action; metrics-only callers should pass
-        ``observation`` instead).
+    Returns ``(raw_pairs, dropped_log, cached_bands)`` — the third
+    element is the persisted band index (registered with
+    ``selfclean_spark.caching``); callers that materialize the pair
+    stream exactly once (the pipeline's checkpoint write) should
+    ``unpersist()`` it afterwards, library callers may leave it to
+    ``caching.unpersist_all()``.
     """
+    from selfclean_spark import caching
+
     keys = ["band_hash"]
-    sizes = bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    bx = caching.register_persist(
+        bands.repartition(*keys).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = bx.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
     if observation is not None:
         sizes = sizes.observe(
             observation,
@@ -90,18 +122,41 @@ def candidate_pairs(
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= band_bucket_cap)
     ).select(*keys)
-    pairs = (
-        bands.join(eligible, keys, "inner")  # semi-shaped: eligible is distinct
-        .groupBy(*keys)
-        # no sort_array: the expansion orients every pair via
-        # least/greatest and the final groupBy dedups, so the output
-        # SET is identical for any list order — the per-bucket sort
-        # bought nothing (r3)
-        .agg(F.collect_list("id").alias("ids"))
-        .select(F.explode(F.expr(_PAIR_EXPANSION)).alias("p"))
-        .select("p.id_a", "p.id_b")
-        .groupBy("id_a", "id_b")
-        .agg(F.count(F.lit(1)).alias("n_bands_hit"))
+    capped = bx.join(eligible.hint("shuffle_hash"), keys, "inner")
+    raw = (
+        capped.select(*keys, F.col("id").alias("id_a"))
+        .join(
+            capped.select(*keys, F.col("id").alias("id_b")).hint("shuffle_hash"),
+            keys,
+        )
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+    )
+    return raw, dropped, bx
+
+
+def candidate_pairs(
+    bands: DataFrame,
+    band_bucket_cap: int,
+    observation: Observation | None = None,
+) -> tuple[DataFrame, DataFrame]:
+    """(id, band_hash) → (candidate pairs, dropped-bucket log).
+
+    Thin aggregation over ``band_pair_stream`` (see there for the
+    hot-key/exchange-reuse story): per-pair band-hit counts for callers
+    that consume the deduplicated pair set directly.
+
+    Returns
+    -------
+    pairs : DataFrame(id_a, id_b, n_bands_hit) with id_a < id_b, distinct.
+    dropped : DataFrame(band_hash, bucket_size) — buckets over the cap,
+        for callers that want the detailed sidecar (reading it is a
+        separate action; metrics-only callers should pass
+        ``observation`` instead).
+    """
+    raw, dropped, _bx = band_pair_stream(bands, band_bucket_cap, observation)
+    pairs = raw.groupBy("id_a", "id_b").agg(
+        F.count(F.lit(1)).alias("n_bands_hit")
     )
     return pairs, dropped
 

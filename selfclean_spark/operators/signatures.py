@@ -103,20 +103,32 @@ def compute_signatures(
 def band_hashes(signatures: DataFrame, cfg: SignatureConfig) -> DataFrame:
     """signatures → (id, band_hash): the LSH index keys.
 
-    Pure native expressions (JVM-side, codegen'd): ``slice`` each of the
-    b bands out of the minhash array and ``xxhash64`` it together with
-    the band index.  Because the band index is folded INTO the hash,
-    the single ``band_hash`` long is the complete bucket key — hashes
-    from different bands land in different buckets by construction, so
-    no separate band_id column rides the shuffle (r3: dropping it cut
-    the candidates-stage shuffle row from 20 to 16 bytes, the hottest
-    exchange of the pipeline).  explode of a b-element array per row —
-    output is b× rows but only 2 narrow columns (SURVEY.md C14).
+    Pure native expressions (JVM-side, codegen'd): ``xxhash64`` over the
+    r ``element_at`` scalars of each band plus the band index.  Because
+    the band index is folded INTO the hash, the single ``band_hash``
+    long is the complete bucket key — hashes from different bands land
+    in different buckets by construction, so no separate band_id column
+    rides the shuffle (r3: dropping it cut the candidates-stage shuffle
+    row from 20 to 16 bytes, the hottest exchange of the pipeline).
+    explode of a b-element array per row — output is b× rows but only 2
+    narrow columns (SURVEY.md C14).
+
+    Scalar args, not ``xxhash64(slice(minhash, ...))``: slice allocates
+    a fresh ArrayData per band per row (b×N short-lived arrays on the
+    hashing hot path), while the scalar form streams the r longs + the
+    band index through one codegen'd hash call — measured ~2.5× on the
+    bands sub-plan (BENCH/profile_candidates.py).  Bucket equality
+    classes are unchanged (two bands collide iff their r values and
+    band index agree, either encoding), so candidate sets — and every
+    downstream fingerprint — are identical.
     """
     r = cfg.lsh_rows
     bands = F.array(
         *[
-            F.xxhash64(F.slice("minhash", i * r + 1, r), F.lit(i))
+            F.xxhash64(
+                *[F.element_at("minhash", i * r + j + 1) for j in range(r)],
+                F.lit(i),
+            )
             for i in range(cfg.lsh_bands)
         ]
     )

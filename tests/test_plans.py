@@ -46,9 +46,14 @@ def test_candidates_plan_never_reads_content(tables):
     for line in read_schemas:
         assert "content" not in line, line
     assert "CartesianProduct" not in plan
-    # one logical pass over signatures; the bucket-size pre-count branch
-    # shares it once its persist materializes (≤2 scans pre-cache)
-    assert plan.count("Scan parquet") <= 2
+    # one physical pass over signatures: the shuffled band index is
+    # persisted and all three consumers (bucket-size count, cap-filter
+    # join, pair self-join) read the cache — the plan text repeats the
+    # cached subtree per consumer, so count cache readers, not scans
+    assert plan.count("InMemoryTableScan") >= 3, plan
+    # expansion is the codegen'd shuffled-hash self-join, never a
+    # broadcast of the multi-hundred-MB band table
+    assert "BroadcastHashJoin" not in plan
 
 
 def test_metadata_join_prunes_content(tables):
