@@ -117,6 +117,13 @@ def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32
     steal_frac = (s1 - s0) / max(1, t1_cpu - t0_cpu)
     cores_busy = (b1 - b0) / max(1, t1_cpu - t0_cpu) * 32
     comp_hash = comp_stats
+    # per-stage walls straight from the checkpoint lineage — the
+    # stage-level scaling table in BASELINE.md reads these
+    stage_walls = {}
+    for m in catalog._load_manifest()["metrics"]:
+        ph = (m.get("extra") or {}).get("phase_secs")
+        if ph:
+            stage_walls[m["stage"]] = round(sum(ph.values()), 2)
     spark.stop()
     return {
         "cpus": cpus,
@@ -128,6 +135,7 @@ def run_once(corpus_path: str, cpus: int, tag: str, shuffle_partitions: int = 32
         "components_fingerprint": [int(comp_hash["h"]), int(comp_hash["n"])],
         "steal_frac": round(steal_frac, 4),
         "avg_cores_busy": round(cores_busy, 1),
+        "stage_walls": stage_walls,
     }
 
 
