@@ -58,6 +58,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": Q.minhash_verified_pairs,
         "minhash_components": Q.minhash_components,
         "dedup_stats_by_source": Q.dedup_stats_by_source,
+        # training-data release checks (r3, oracle-checked): train/eval
+        # contamination over the verified edge set; substring
+        # containment confirmed by the suffix-array kernel vs DuckDB's
+        # independent contains()
+        "decontamination_pairs": Q.decontamination_pairs,
+        "substring_containment_pairs": Q.substring_containment_pairs,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)
         "near_dup_ranking": Q.near_dup_ranking,

@@ -218,6 +218,23 @@ def _substring_rescue(
     return with_content.mapInPandas(confirm_batches, schema=_RESCUE_SCHEMA)
 
 
+def substring_confirm(pairs: DataFrame, docs: DataFrame) -> DataFrame:
+    """Public SA-containment check: for each (id_a, id_b) pair, is the
+    SHORTER document verbatim contained in the longer one?
+
+    Thin wrapper over the suffix-array rescue kernel so callers (the
+    ``substring_containment_pairs`` query, decontamination audits) can
+    confirm containment for an arbitrary pair set, not just the
+    below-threshold rescue slice of the dedup pipeline.  ``docs`` is
+    any (id, content) relation; pairs are expected to be a candidate
+    subset (each side is a hash join on the long id key — never a
+    content cross join).
+
+    Returns (id_a, id_b, substring).
+    """
+    return _substring_rescue(pairs, docs)
+
+
 def verify_candidates(
     pairs: DataFrame, ingested: DataFrame, signatures: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:

@@ -672,3 +672,47 @@ SELECT source,
 FROM documents
 GROUP BY 1
 """
+
+
+# --------------------------------------------------------------------------
+# Decontamination + substring containment (r3): both derive from the
+# exact token-3-gram Jaccard pair machinery above.
+
+ORACLES["decontamination_pairs"] = f"""
+WITH {_DOCS_EDGES_CTE}
+SELECT CASE WHEN id_a % 5 = 0 THEN id_a ELSE id_b END AS eval_id,
+       CASE WHEN id_a % 5 = 0 THEN id_b ELSE id_a END AS train_id,
+       round(j, 6) AS jaccard
+FROM vpairs
+WHERE (id_a % 5 = 0) <> (id_b % 5 = 0)
+"""
+
+# Planted-wrapper contract shared with queries.substring_containment_pairs
+# (WRAP_N=15, WRAP_SHIFT=2000000, WRAP_SUFFIX=' appendix licensing
+# footer'); the pair CTE chain is re-rooted on the planted union, and
+# containment is DuckDB's native contains() — an implementation of the
+# substring claim that is fully independent of the Spark-side
+# suffix-array kernel it checks.
+_DOCS2_CTE = """docs2 AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 2000000, text || ' appendix licensing footer'
+  FROM documents WHERE doc_id < 15
+),"""
+
+ORACLES["substring_containment_pairs"] = f"""
+WITH {_DOCS2_CTE}
+{_DOCS_EDGES_CTE.replace("FROM documents", "FROM docs2").lstrip()}
+SELECT CASE WHEN length(da.text) < length(db.text) THEN v.id_a
+            WHEN length(db.text) < length(da.text) THEN v.id_b
+            ELSE least(v.id_a, v.id_b) END AS inner_id,
+       CASE WHEN length(da.text) < length(db.text) THEN v.id_b
+            WHEN length(db.text) < length(da.text) THEN v.id_a
+            ELSE greatest(v.id_a, v.id_b) END AS outer_id
+FROM vpairs v
+JOIN docs2 da ON da.doc_id = v.id_a
+JOIN docs2 db ON db.doc_id = v.id_b
+WHERE contains(
+    CASE WHEN length(da.text) <= length(db.text) THEN db.text ELSE da.text END,
+    CASE WHEN length(da.text) <= length(db.text) THEN da.text ELSE db.text END)
+"""

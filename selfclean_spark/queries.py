@@ -660,6 +660,103 @@ def quantile_isolation_docs(spark, sf_dir):
     )
 
 
+def decontamination_pairs(spark, sf_dir):
+    """Train/eval decontamination audit — the benchmark-contamination
+    check every LLM training pipeline runs before a data release: find
+    near-duplicate pairs that CROSS a train/eval split (an eval doc
+    leaking into the training corpus).
+
+    The split is deterministic and SQL-expressible (``doc_id % 5 == 0``
+    → eval, ~20% of the corpus); the pair set is the exact
+    token-3-gram-Jaccard ≥ 0.5 edge table (same SQL-expressibility
+    argument as ``minhash_verified_pairs``), filtered to cross-split
+    pairs and re-oriented (eval_id, train_id).  Reads the session-
+    memoized edge cache — zero extra sketch work after any other
+    edge-derived query.
+
+    At lake scale the same plan is a partition-pruned filter over the
+    verified-edge table joined to the split dimension — no new shuffle.
+    """
+    edges = _docs_edges(spark, sf_dir)
+    a_eval = (F.col("id_a") % 5) == 0
+    b_eval = (F.col("id_b") % 5) == 0
+    return (
+        edges.filter(a_eval != b_eval)
+        .select(
+            F.when(a_eval, F.col("id_a")).otherwise(F.col("id_b")).alias("eval_id"),
+            F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
+            F.round("jaccard", 6).alias("jaccard"),
+        )
+        .orderBy("eval_id", "train_id")
+    )
+
+
+# shared planted-wrapper contract with the DuckDB oracle (oracles.py):
+# the first WRAP_N docs get a doc_id-shifted copy with a small verbatim
+# suffix appended — a guaranteed substring-containment family whose
+# token-shingle Jaccard stays ≳0.9 (so LSH recall is certain)
+WRAP_N = 15
+WRAP_SHIFT = 2_000_000
+WRAP_SUFFIX = " appendix licensing footer"
+
+
+def substring_containment_pairs(spark, sf_dir):
+    """Verbatim substring-containment pairs, confirmed by the
+    per-partition suffix-array kernel (north rule: "exact substring
+    duplicates confirmed via per-partition suffix-array construction",
+    reference analog: the near-duplicate verification surface of
+    selfclean/cleaner/near_duplicates/embedding_distance_mixin.py).
+
+    Candidate pairs are the exact-Jaccard ≥ 0.5 near-dup edges over the
+    corpus + planted wrapper docs (original text + a short suffix);
+    each candidate is then confirmed verbatim-contained by
+    ``verify.substring_confirm`` (suffix array build + binary search,
+    Arrow-batched — content joined per candidate pair only, never
+    cross-joined).  Output is (inner_id, outer_id): shorter doc inside
+    longer, ties broken by id.
+
+    Hard DuckDB oracle: the same planted table is derived in SQL and
+    the containment predicate is DuckDB's ``contains()`` over the same
+    Jaccard-0.5 candidate set — an INDEPENDENT implementation of the
+    suffix-array kernel's claim.
+    """
+    from selfclean_spark.operators import verify as verify_ops
+
+    d = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    wrapped = d.filter(F.col("doc_id") < WRAP_N).select(
+        (F.col("doc_id") + WRAP_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(WRAP_SUFFIX)).alias("text"),
+    )
+    docs2 = d.unionByName(wrapped)
+    edges = D.minhash_lsh_pairs(docs2, "doc_id", "text", DOCS_CFG).select(
+        "id_a", "id_b"
+    )
+    content = docs2.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    confirmed = verify_ops.substring_confirm(edges, content).filter(
+        F.col("substring")
+    )
+    lens = docs2.select("doc_id", F.length("text").alias("n"))
+    len_a = lens.select(F.col("doc_id").alias("id_a"), F.col("n").alias("len_a"))
+    len_b = lens.select(F.col("doc_id").alias("id_b"), F.col("n").alias("len_b"))
+    return (
+        confirmed.join(len_a, "id_a")
+        .join(len_b, "id_b")
+        .select(
+            F.when(F.col("len_a") < F.col("len_b"), F.col("id_a"))
+            .when(F.col("len_b") < F.col("len_a"), F.col("id_b"))
+            .otherwise(F.least("id_a", "id_b"))
+            .alias("inner_id"),
+            F.when(F.col("len_a") < F.col("len_b"), F.col("id_b"))
+            .when(F.col("len_b") < F.col("len_a"), F.col("id_a"))
+            .otherwise(F.greatest("id_a", "id_b"))
+            .alias("outer_id"),
+        )
+        .orderBy("inner_id", "outer_id")
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

@@ -134,3 +134,63 @@ def test_session_cache_reuses_edge_pipeline(spark):
         assert "InMemoryRelation" in plan
     finally:
         caching.clear()
+
+
+@pytest.mark.parametrize(
+    "name", ["decontamination_pairs", "substring_containment_pairs"]
+)
+def test_release_check_oracle_parity(spark, name):
+    """r3 training-data release checks match their DuckDB twins
+    value-for-value at sf0.001: cross-split contamination over the
+    exact edge set, and suffix-array-confirmed substring containment vs
+    DuckDB's independent contains() (49 pairs at sf0.001 — planted
+    wrappers AND organic append/truncate near-dups, so the kernel is
+    exercised on non-trivial positives and negatives)."""
+    import duckdb
+
+    from selfclean_spark import caching
+
+    caching.clear()
+    sdf = entry_mod.queries()[name](spark, SF_DIR)
+    cols = sorted(sdf.columns)
+    got = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in (r[c] for c in cols))
+        for r in sdf.collect()
+    )
+    assert got, "release-check result must be non-vacuous"
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{SF_DIR}/documents.parquet')"
+    )
+    odf = con.execute(entry_mod.oracle_sql()[name]).fetch_df()
+    assert sorted(odf.columns) == cols
+    want = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in row)
+        for row in odf[cols].itertuples(index=False)
+    )
+    assert got == want
+
+
+def test_substring_confirm_kernel(spark):
+    """Unit semantics of the public SA wrapper: verbatim containment
+    (incl. equality) is confirmed, mid-string edits are rejected."""
+    from selfclean_spark.operators.verify import substring_confirm
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta"),
+            (2, "PRE alpha beta gamma delta POST"),   # wraps 1
+            (3, "alpha beta GAMMA delta"),            # mid edit of 1
+            (4, "alpha beta gamma delta"),            # equal to 1
+        ],
+        "id long, content string",
+    )
+    pairs = spark.createDataFrame(
+        [(1, 2), (1, 3), (1, 4)], "id_a long, id_b long"
+    )
+    got = {
+        (r.id_a, r.id_b): r.substring
+        for r in substring_confirm(pairs, docs).collect()
+    }
+    assert got == {(1, 2): True, (1, 3): False, (1, 4): True}
