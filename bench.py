@@ -36,6 +36,9 @@ HEADLINE = [
     "near_dup_ranking",
     "lang_mismatch_ranking",
     "auto_cut_flags",
+    # training-data release checks (r3)
+    "decontamination_pairs",
+    "substring_containment_pairs",
     # text analysis
     "doc_stats",
     "quality_by_source",
