@@ -42,6 +42,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cosine_topk": Q.cosine_topk,
         "ivf_topk_exact": Q.ivf_topk_exact,
         "embedding_norms": Q.embedding_norms,
+        # SemDeDup semantic dedup (oracle-checked bit-exactly via
+        # integer-quantized dots — see similarity.semdedup_prune)
+        "semdedup_keep": Q.semdedup_keep,
         # generic OLAP (oracle-checked)
         "tpch_q1": Q.tpch_q1,
         "tpch_q3": Q.tpch_q3,

@@ -42,9 +42,10 @@ HEADLINE = [
     # text analysis
     "doc_stats",
     "quality_by_source",
-    # similarity search
+    # similarity search + semantic dedup
     "cosine_topk",
     "lsh_topk_ann",
+    "semdedup_keep",
     # generic OLAP
     "tpch_q1",
     "events_hourly",

@@ -435,3 +435,96 @@ def embedding_cosine_dup_pairs(
         .filter(F.col("cosine") >= threshold)
         .select("id_a", "id_b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+def semdedup_prune(
+    embeddings: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.96,
+    comparator_cap: int = 4_096,
+    quant_scale: float = 1_000_000.0,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023,
+    arXiv:2303.09540): cluster embeddings into coarse cells, then
+    within each cell drop every vector that has an earlier (lower-id)
+    neighbor with cosine ≥ ``threshold``.  Returns one row per input
+    vector: ``(id, cell, keep)`` — the distributed replacement for the
+    reference's global O(N²) embedding-distance near-duplicate pruning
+    (selfclean/cleaner/near_duplicates/embedding_distance_mixin.py:41-83).
+
+    Scale shape: one TakeOrdered job samples ``n_centroids`` centroids
+    (smallest ``xxhash64(id)``), one vectorized matmul per Arrow batch
+    assigns cells, and ONE shuffle (by cell) feeds the grouped prune —
+    within a cell the pairwise cosines are chunked BLAS matmuls, never
+    materialized as rows.  ``n_centroids`` is the SemDeDup knob that
+    bounds cell size (C ∝ N / target_cell); ``comparator_cap``
+    additionally hard-bounds hot-cell work at O(m·cap): rows beyond the
+    cap are compared only against the cell's first ``cap`` rows by id —
+    deterministic, drop-side conservative (may keep extra rows, never
+    false-drops).
+
+    Bit-deterministic across engines (and the reason this query sits on
+    the hard DuckDB-oracle surface): vectors are quantized to int64
+    (``floor(x·scale + 0.5)``), cell assignment is the argmax of EXACT
+    integer dot products (ties → lowest cell index), and the pruning
+    cosine is ``double(dot_int) / (sqrt(n2_a)·sqrt(n2_b))`` — integer
+    dots and norms are exact (|dot| < 2^53 for ≤4096-dim unit-scale
+    vectors), and the remaining float ops are elementwise IEEE, so
+    NumPy and DuckDB agree to the last bit.  Zero-norm vectors are
+    never dropped and never drop others.
+    """
+    rows = (
+        embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+        .orderBy(F.xxhash64("id"), F.col("id"))
+        .limit(n_centroids)
+        .collect()
+    )
+    fcents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
+    icents = np.floor(fcents * quant_scale + 0.5).astype(np.int64)
+
+    @F.pandas_udf("int")
+    def cell_of(vecs: pd.Series) -> pd.Series:
+        m = np.stack(vecs.to_numpy()).astype(np.float64)
+        iv = np.floor(m * quant_scale + 0.5).astype(np.int64)
+        dots = iv @ icents.T  # exact int64
+        return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
+
+    tau = float(threshold)
+    cap = int(comparator_cap)
+    scale = float(quant_scale)
+
+    def prune(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
+        iv = np.floor(m * scale + 0.5).astype(np.int64)
+        n2 = (iv * iv).sum(axis=1)
+        n = len(pdf)
+        c = min(cap, n)
+        sq = np.sqrt(n2.astype(np.float64))
+        comp, sqc, compn2 = iv[:c], sq[:c], n2[:c]
+        keep = np.ones(n, dtype=bool)
+        jj = np.arange(c)
+        chunk = max(256, (1 << 22) // max(c, 1))
+        for s in range(0, n, chunk):
+            e = min(s + chunk, n)
+            dots = (iv[s:e] @ comp.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (sq[s:e, None] * sqc[None, :])
+            hit = cos >= tau  # NaN (zero norm) compares False
+            hit &= (compn2 > 0)[None, :] & (n2[s:e] > 0)[:, None]
+            hit &= jj[None, :] < np.arange(s, e)[:, None]  # earlier rows only
+            keep[s:e] = ~hit.any(axis=1)
+        return pd.DataFrame(
+            {"id": pdf["id"], "cell": pdf["cell"], "keep": keep}
+        )
+
+    cells = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        cell_of(F.col(vec_col)).alias("cell"),
+    )
+    return cells.groupBy("cell").applyInPandas(
+        prune, "id long, cell int, keep boolean"
+    )

@@ -716,3 +716,101 @@ WHERE contains(
     CASE WHEN length(da.text) <= length(db.text) THEN db.text ELSE da.text END,
     CASE WHEN length(da.text) <= length(db.text) THEN da.text ELSE db.text END)
 """
+
+
+def _xxh64_id_ctes(src: str) -> str:
+    """CTE chain ``ix0..idh``: Spark's XxHash64 (seed 42) of one signed
+    BIGINT column ``id`` from CTE ``src`` — the same HUGEINT re-derivation
+    proven in ``_isolation_ranking_sql``, factored for reuse.  Ends with
+    ``idh(id, xh)`` where ``xh`` is the signed 64-bit hash."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4, p5 = 0x85EBCA77C2B2AE63, 0x27D4EB2F165667C5
+    acc0 = (42 + p5 + 8) & ((1 << 64) - 1)  # seed=42, len=8 bytes
+
+    def rotl(x: str, r: int) -> str:
+        return (
+            f"((({x}) * {1 << r}::HUGEINT % {_M64})"
+            f" + (({x}) // {1 << (64 - r)}::HUGEINT))"
+        )
+
+    return f"""ix0 AS (
+  SELECT id, {_mm(f"(CASE WHEN id < 0 THEN id::HUGEINT + {_M64}"
+                  " ELSE id::HUGEINT END)", p2)} AS k1
+  FROM {src}
+), ix1 AS (SELECT id, {_mm(rotl("k1", 31), p1)} AS k1m FROM ix0
+), ix2 AS (SELECT id, xor({acc0}::HUGEINT, k1m) AS acc FROM ix1
+), ix3 AS (SELECT id,
+    ({_mm(rotl("acc", 27), p1)} + {p4}::HUGEINT) % {_M64} AS acc FROM ix2
+), ix4 AS (SELECT id, xor(acc, acc // 8589934592) AS acc FROM ix3
+), ix5 AS (SELECT id, {_mm("acc", p2)} AS acc FROM ix4
+), ix6 AS (SELECT id, xor(acc, acc // 536870912) AS acc FROM ix5
+), ix7 AS (SELECT id, {_mm("acc", p3)} AS acc FROM ix6
+), idh AS (
+  SELECT id,
+    CASE WHEN xor(acc, acc // 4294967296) >= 9223372036854775808::HUGEINT
+         THEN (xor(acc, acc // 4294967296) - {_M64})::BIGINT
+         ELSE xor(acc, acc // 4294967296)::BIGINT END AS xh
+  FROM ix7
+)"""
+
+
+def _semdedup_sql(
+    n_centroids: int = 16,
+    threshold: float = 0.96,
+    comparator_cap: int = 4_096,
+    scale: float = 1_000_000.0,
+) -> str:
+    """Twin of ``queries.semdedup_keep`` / ``similarity.semdedup_prune``.
+
+    Bit-exact by construction: int64-quantized vectors (floor(x·scale
+    + 0.5)), exact integer dots/norms, cell = argmax(dot) with
+    ties → lowest cell, prune cosine = dot::DOUBLE / (sqrt(n2_a) ·
+    sqrt(n2_b)) — elementwise IEEE ops in the same order as the NumPy
+    kernel.  Centroids are the ``n_centroids`` ids with the smallest
+    Spark-xxhash64 (re-derived above)."""
+    return f"""
+WITH base AS (
+  SELECT vec_id AS id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000 AS id, embedding::DOUBLE[] AS v
+  FROM embeddings WHERE vec_id < 25
+), n AS (
+  SELECT id,
+         list_transform(v, x -> CAST(floor(x * {scale} + 0.5) AS BIGINT)) AS iv
+  FROM base
+), nn AS (
+  SELECT id, iv, list_sum(list_transform(iv, x -> x * x))::BIGINT AS n2 FROM n
+), {_xxh64_id_ctes("n")}, cents AS (
+  SELECT row_number() OVER (ORDER BY h.xh, h.id) - 1 AS cell, n.iv AS cv
+  FROM idh h JOIN n USING (id)
+  ORDER BY h.xh, h.id LIMIT {n_centroids}
+), dots AS (
+  SELECT nn.id, c.cell,
+    list_sum(list_transform(range(1, len(nn.iv) + 1),
+                            i -> nn.iv[i] * c.cv[i]))::BIGINT AS dot
+  FROM nn CROSS JOIN cents c
+), assign AS (
+  SELECT id, cell FROM (
+    SELECT id, cell,
+           row_number() OVER (PARTITION BY id ORDER BY dot DESC, cell ASC) AS rn
+    FROM dots) WHERE rn = 1
+), ranked AS (
+  SELECT nn.id, a.cell, nn.iv, nn.n2,
+         row_number() OVER (PARTITION BY a.cell ORDER BY nn.id) AS rk
+  FROM nn JOIN assign a USING (id)
+), hits AS (
+  SELECT b.id
+  FROM ranked a JOIN ranked b
+    ON a.cell = b.cell AND a.id < b.id AND a.rk <= {comparator_cap}
+  WHERE a.n2 > 0 AND b.n2 > 0
+    AND (list_sum(list_transform(range(1, len(a.iv) + 1),
+                                 i -> a.iv[i] * b.iv[i]))::DOUBLE)
+        / (sqrt(a.n2::DOUBLE) * sqrt(b.n2::DOUBLE)) >= {threshold}
+  GROUP BY b.id
+)
+SELECT r.id AS vec_id, r.cell::INT AS cell, (h.id IS NULL) AS keep
+FROM ranked r LEFT JOIN hits h ON r.id = h.id
+"""
+
+
+ORACLES["semdedup_keep"] = _semdedup_sql()

@@ -604,6 +604,23 @@ def embedding_dup_pairs(spark, sf_dir):
     )
 
 
+def semdedup_keep(spark, sf_dir):
+    """SemDeDup semantic dedup over the embeddings corpus (plus 25
+    planted exact-copy vectors so the drop side is non-vacuous): every
+    vector gets (cell, keep) — keep=false iff an earlier same-cell
+    vector is cosine-≥0.96-near.  Oracle-checked bit-exactly: integer-
+    quantized dots make the cell argmax and the threshold compare
+    engine-independent (see operators.similarity.semdedup_prune)."""
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 25).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    res = S.semdedup_prune(
+        e.unionByName(planted), n_centroids=16, threshold=0.96
+    )
+    return res.select(F.col("id").alias("vec_id"), "cell", "keep")
+
+
 def allpairs_jaccard_sample(spark, sf_dir):
     """Exact all-pairs token-3-gram Jaccard on a 60-doc sample — the
     reference's blocked cross join (selfclean_cleaner.py:121-146) as a
