@@ -37,6 +37,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "doc_stats": Q.doc_stats,
         "token_budget_stats": Q.token_budget_stats,
         "quality_by_source": Q.quality_by_source,
+        "repetition_stats": Q.repetition_stats,
         "lang_id_counts": Q.lang_id_counts,
         # vector similarity (oracle-checked)
         "cosine_topk": Q.cosine_topk,
@@ -48,6 +49,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # generic OLAP (oracle-checked)
         "tpch_q1": Q.tpch_q1,
         "tpch_q3": Q.tpch_q3,
+        "tpch_q5": Q.tpch_q5,
+        "tpch_q6": Q.tpch_q6,
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
         # sketch pipeline — edge-derived outputs are oracle-checked
@@ -61,11 +64,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_verified_pairs": Q.minhash_verified_pairs,
         "minhash_components": Q.minhash_components,
         "dedup_stats_by_source": Q.dedup_stats_by_source,
+        "dedup_keep_manifest": Q.dedup_keep_manifest,
         # training-data release checks (r3, oracle-checked): train/eval
         # contamination over the verified edge set; substring
         # containment confirmed by the suffix-array kernel vs DuckDB's
         # independent contains()
         "decontamination_pairs": Q.decontamination_pairs,
+        "ngram_contamination": Q.ngram_contamination,
         "substring_containment_pairs": Q.substring_containment_pairs,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)

@@ -38,16 +38,20 @@ HEADLINE = [
     "auto_cut_flags",
     # training-data release checks (r3)
     "decontamination_pairs",
+    "ngram_contamination",
     "substring_containment_pairs",
     # text analysis
     "doc_stats",
     "quality_by_source",
+    "repetition_stats",
     # similarity search + semantic dedup
     "cosine_topk",
     "lsh_topk_ann",
     "semdedup_keep",
     # generic OLAP
     "tpch_q1",
+    "tpch_q5",
+    "tpch_q6",
     "events_hourly",
 ]
 

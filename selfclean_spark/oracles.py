@@ -140,6 +140,72 @@ JOIN csizes s USING (component_id)
 GROUP BY 1
 """
 
+ORACLES["dedup_keep_manifest"] = f"""
+WITH RECURSIVE {_DOCS_EDGES_CTE},
+edges AS (
+  SELECT id_a AS a, id_b AS b FROM vpairs
+  UNION ALL
+  SELECT id_b AS a, id_a AS b FROM vpairs
+),
+reach(id, m) AS (
+  SELECT doc_id, doc_id FROM documents
+  UNION
+  SELECT r.id, e.b FROM reach r JOIN edges e ON e.a = r.m
+),
+comp AS (
+  SELECT id, min(m) AS component_id FROM reach GROUP BY 1
+)
+SELECT min(d.doc_id) AS keep_id,
+       count(*)::BIGINT AS n_members,
+       (count(*) - 1)::BIGINT AS n_dropped,
+       (sum(d.n_chars) - min_by(d.n_chars, d.doc_id))::BIGINT AS chars_dropped
+FROM comp c JOIN documents d ON d.doc_id = c.id
+GROUP BY c.component_id
+ORDER BY 1
+"""
+
+ORACLES["repetition_stats"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 2
+), grams AS (
+  SELECT doc_id,
+         unnest(list_transform(generate_series(1, len(t)-1),
+                i -> t[i] || ' ' || t[i+1])) AS g
+  FROM toks
+), counts AS (
+  SELECT doc_id, g, count(*)::BIGINT AS c FROM grams GROUP BY 1, 2
+)
+SELECT doc_id,
+       sum(c)::BIGINT AS n_2grams,
+       count(*)::BIGINT AS n_distinct_2grams,
+       max(c)::BIGINT AS top_2gram_n,
+       round(1.0 - count(*)::DOUBLE / sum(c)::DOUBLE, 6) AS dup_2gram_frac
+FROM counts
+GROUP BY 1
+ORDER BY 1
+"""
+
+ORACLES["ngram_contamination"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 8
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-7),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+                  || ' ' || t[i+4] || ' ' || t[i+5] || ' ' || t[i+6]
+                  || ' ' || t[i+7]))) AS g
+  FROM toks
+)
+SELECT e.doc_id AS eval_id, t.doc_id AS train_id,
+       count(*)::BIGINT AS n_shared_grams
+FROM grams e JOIN grams t USING (g)
+WHERE e.doc_id % 5 = 0 AND t.doc_id % 5 <> 0
+GROUP BY 1, 2
+ORDER BY 1, 2
+"""
+
 ORACLES["knn_edges_docs"] = f"""
 WITH {_DOCS_EDGES_CTE},
 per_node AS (
@@ -442,6 +508,33 @@ SELECT l_orderkey, o_orderdate, o_orderpriority,
 FROM j
 ORDER BY rev DESC, l_orderkey ASC
 LIMIT 10
+"""
+
+ORACLES["tpch_q5"] = """
+SELECT n.n_name,
+       round(sum(l.l_extendedprice * (1 - l.l_discount)), 2) AS revenue
+FROM lineitem l
+JOIN orders o ON l.l_orderkey = o.o_orderkey
+JOIN customer c ON o.o_custkey = c.c_custkey
+JOIN supplier s ON l.l_suppkey = s.s_suppkey
+               AND c.c_nationkey = s.s_nationkey
+JOIN nation n ON s.s_nationkey = n.n_nationkey
+JOIN region r ON n.n_regionkey = r.r_regionkey
+WHERE r.r_name = 'ASIA'
+  AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+  AND o.o_orderdate < TIMESTAMP '1998-01-01'
+GROUP BY 1
+ORDER BY revenue DESC
+"""
+
+ORACLES["tpch_q6"] = """
+SELECT round(sum(l_extendedprice * l_discount), 2) AS revenue,
+       count(*)::BIGINT AS n_items
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07
+  AND l_quantity < 24
 """
 
 ORACLES["events_sessions"] = """

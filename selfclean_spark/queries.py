@@ -265,6 +265,53 @@ def quality_by_source(spark, sf_dir):
     )
 
 
+def repetition_stats(spark, sf_dir):
+    """Gopher-style within-document repetition quality signals (Rae et
+    al. 2021 §A1.1: repetitious documents are low-quality): per doc,
+    the token-2-gram multiset's total/distinct counts, the hottest
+    2-gram's frequency, and the duplicate-2-gram fraction.
+
+    Shape for 100 TB: one explode of hashed 2-grams (64-bit longs, not
+    strings, cross every shuffle) then two partial-aggregatable
+    groupBys keyed by (doc_id, gram) and doc_id — fully map-side
+    combinable, no content in any exchange.  The DuckDB twin groups
+    the string grams themselves; counts agree absent xxhash64
+    collisions (the repo-wide hashed==string-shingle argument).
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 2)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("t") - 1),
+                lambda i: F.xxhash64(
+                    F.concat_ws(
+                        " ", F.element_at("t", i), F.element_at("t", i + 1)
+                    )
+                ),
+            )
+        ).alias("gh"),
+    )
+    counts = grams.groupBy("doc_id", "gh").agg(F.count(F.lit(1)).alias("c"))
+    return (
+        counts.groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("long").alias("n_2grams"),
+            F.count(F.lit(1)).cast("long").alias("n_distinct_2grams"),
+            F.max("c").cast("long").alias("top_2gram_n"),
+            F.round(
+                F.lit(1.0)
+                - F.count(F.lit(1)).cast("double") / F.sum("c").cast("double"),
+                6,
+            ).alias("dup_2gram_frac"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def lang_id_counts(spark, sf_dir):
     """Stopword-hit language-ID heuristic, aggregated."""
     d = _t(spark, sf_dir, "documents")
@@ -376,6 +423,62 @@ def tpch_q3(spark, sf_dir):
     )
 
 
+def tpch_q5(spark, sf_dir):
+    """Local-supplier-volume 6-way star join (region → nation →
+    supplier/customer colocation via c_nationkey = s_nationkey).
+    Catalyst showcase: the three dims (supplier, nation, region)
+    broadcast, the date filter pushes to the orders scan, and the
+    region predicate prunes nations before any fact-side work."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem")
+    cust = _t(spark, sf_dir, "customer")
+    supp = _t(spark, sf_dir, "supplier")
+    nat = _t(spark, sf_dir, "nation")
+    reg = _t(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nat), supp.s_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .orderBy(F.col("revenue").desc())
+    )
+
+
+def tpch_q6(spark, sf_dir):
+    """Forecast-revenue-change scan-heavy aggregate: every predicate
+    (ship-date year, discount band, quantity cap) pushes to the
+    parquet scan, the whole query is one WholeStageCodegen span with a
+    map-side partial sum — the shape 100 TB scans want."""
+    li = _t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(
+            (F.col("l_shipdate") >= F.lit("1997-01-01"))
+            & (F.col("l_shipdate") < F.lit("1998-01-01"))
+            & F.col("l_discount").between(0.05, 0.07)
+            & (F.col("l_quantity") < 24)
+        ).agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * F.col("l_discount")), 2
+            ).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
 def events_hourly(spark, sf_dir):
     ev = _t(spark, sf_dir, "events")
     hour = F.date_format(F.date_trunc("hour", F.col("ts")), "yyyy-MM-dd HH:mm:ss")
@@ -476,6 +579,39 @@ def dedup_stats_by_source(spark, sf_dir):
             .alias("dup_docs"),
         )
         .orderBy("source")
+    )
+
+
+def dedup_keep_manifest(spark, sf_dir):
+    """The deduplicated-release manifest — the artifact a training-data
+    pipeline actually ships: one row per near-dup cluster with the
+    canonical document kept (min id), the member count, and how many
+    documents / content characters the release drops.
+
+    Derives entirely from the session-cached component table (exact
+    token-3-gram Jaccard ≥ 0.5 clusters — the same SQL-expressibility
+    argument as ``minhash_components``), so after any edge-derived
+    query this is one groupBy over cached rows.  At lake scale it is a
+    single partial-aggregatable shuffle keyed by component_id over
+    (id, component_id, n_chars) — no content moves.
+    """
+    comps = _docs_components(spark, sf_dir)
+    d = _t(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("id"), "n_chars"
+    )
+    return (
+        d.join(comps, "id")
+        .groupBy("component_id")
+        .agg(
+            F.min("id").alias("keep_id"),
+            F.count(F.lit(1)).cast("long").alias("n_members"),
+            (F.count(F.lit(1)) - 1).cast("long").alias("n_dropped"),
+            (F.sum("n_chars") - F.min_by("n_chars", "id"))
+            .cast("long")
+            .alias("chars_dropped"),
+        )
+        .select("keep_id", "n_members", "n_dropped", "chars_dropped")
+        .orderBy("keep_id")
     )
 
 
@@ -704,6 +840,58 @@ def decontamination_pairs(spark, sf_dir):
             F.when(a_eval, F.col("id_b")).otherwise(F.col("id_a")).alias("train_id"),
             F.round("jaccard", 6).alias("jaccard"),
         )
+        .orderBy("eval_id", "train_id")
+    )
+
+
+CONTAM_W = 8  # shared token-n-gram width contract with the oracle
+
+
+def ngram_contamination(spark, sf_dir):
+    """Exact token-8-gram overlap decontamination — the GPT-3-style
+    n-gram-collision check (Brown et al. 2020 §C use 13-grams; 8 fits
+    this corpus's shorter documents): an eval document is contaminated
+    if it shares any verbatim token 8-gram with a training document.
+    Complements ``decontamination_pairs`` (Jaccard near-dup based) with
+    the exact-collision method real release pipelines run alongside it.
+
+    Split contract (shared with ``decontamination_pairs``):
+    ``doc_id % 5 == 0`` → eval.  Shape for 100 TB: grams are hashed to
+    64-bit before any shuffle, the eval side is tiny relative to the
+    training corpus so it broadcasts — the contamination scan is ONE
+    broadcast-hash semi-join over the training-gram stream followed by
+    a partial-aggregatable pair count; no shuffle touches the corpus.
+    """
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= CONTAM_W)
+    grams = toks.select(
+        "doc_id",
+        F.explode(
+            F.array_distinct(
+                F.transform(
+                    F.sequence(F.lit(1), F.size("t") - (CONTAM_W - 1)),
+                    lambda i: F.xxhash64(
+                        F.concat_ws(
+                            " ",
+                            *[F.element_at("t", i + k) for k in range(CONTAM_W)],
+                        )
+                    ),
+                )
+            )
+        ).alias("gh"),
+    )
+    ev = grams.filter((F.col("doc_id") % 5) == 0).select(
+        F.col("doc_id").alias("eval_id"), "gh"
+    )
+    tr = grams.filter((F.col("doc_id") % 5) != 0).select(
+        F.col("doc_id").alias("train_id"), "gh"
+    )
+    return (
+        tr.join(F.broadcast(ev), "gh")
+        .groupBy("eval_id", "train_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
         .orderBy("eval_id", "train_id")
     )
 

@@ -137,15 +137,24 @@ def test_session_cache_reuses_edge_pipeline(spark):
 
 
 @pytest.mark.parametrize(
-    "name", ["decontamination_pairs", "substring_containment_pairs"]
+    "name",
+    [
+        "decontamination_pairs",
+        "substring_containment_pairs",
+        "ngram_contamination",
+        "dedup_keep_manifest",
+        "repetition_stats",
+    ],
 )
 def test_release_check_oracle_parity(spark, name):
     """r3 training-data release checks match their DuckDB twins
     value-for-value at sf0.001: cross-split contamination over the
-    exact edge set, and suffix-array-confirmed substring containment vs
+    exact edge set, suffix-array-confirmed substring containment vs
     DuckDB's independent contains() (49 pairs at sf0.001 — planted
     wrappers AND organic append/truncate near-dups, so the kernel is
-    exercised on non-trivial positives and negatives)."""
+    exercised on non-trivial positives and negatives), GPT-3-style
+    exact 8-gram contamination, the dedup keep manifest, and the
+    Gopher repetition stats."""
     import duckdb
 
     from selfclean_spark import caching

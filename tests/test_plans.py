@@ -128,3 +128,21 @@ def test_whole_pipeline_no_cartesian(spark, tables, tmp_path):
     manager = pipe.run(cf)
     for key in ("near_duplicates", "off_topic_samples", "label_errors", "components"):
         assert "CartesianProduct" not in _plan(manager[key])
+
+
+def test_semdedup_plan_single_exchange_no_cartesian(spark):
+    """semdedup_prune's physical plan: exactly ONE Exchange (the
+    group-by-cell shuffle feeding the grouped prune) and no
+    CartesianProduct — the within-cell pairwise work happens inside
+    the Arrow batch as matmuls, never as a join."""
+    import numpy as np
+
+    from selfclean_spark.operators import similarity as S
+
+    rng = np.random.default_rng(5)
+    rows = [(int(i), rng.normal(size=8).astype("float32").tolist()) for i in range(40)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semdedup_prune(df, n_centroids=3, threshold=0.9)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert plan.count("Exchange") == 1
