@@ -184,7 +184,11 @@ def main() -> None:
         "scaling_efficiency": round(efficiency, 3),
         "outputs_identical": identical,
     }
-    with open(os.path.join(BENCH_DIR, "scaling.json"), "w") as f:
+    # SPARK_GRAFT_SCALING_OUT names the output file so campaign runs
+    # don't clobber BENCH/scaling.json (pinned to the recorded gate
+    # evidence — scaling_300k_{1to4,2to8}_r3final.json)
+    out_name = os.environ.get("SPARK_GRAFT_SCALING_OUT", "scaling.json")
+    with open(os.path.join(BENCH_DIR, out_name), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
