@@ -72,6 +72,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "decontamination_pairs": Q.decontamination_pairs,
         "ngram_contamination": Q.ngram_contamination,
         "substring_containment_pairs": Q.substring_containment_pairs,
+        "pii_scrub": Q.pii_scrub,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)
         "near_dup_ranking": Q.near_dup_ranking,
@@ -80,6 +81,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "simhash_near_pairs": Q.simhash_near_pairs,
         "isolation_ranking": Q.isolation_ranking,
         "lsh_topk_ann": Q.lsh_topk_ann,
+        "lsh_topk_planted": Q.lsh_topk_planted,
         "embedding_dup_pairs": Q.embedding_dup_pairs,
         "knn_edges_docs": Q.knn_edges_docs,
         "lad_offtopic": Q.lad_offtopic,

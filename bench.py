@@ -40,6 +40,7 @@ HEADLINE = [
     "decontamination_pairs",
     "ngram_contamination",
     "substring_containment_pairs",
+    "pii_scrub",
     # text analysis
     "doc_stats",
     "quality_by_source",
@@ -56,9 +57,37 @@ HEADLINE = [
 ]
 
 
+# Bench protocol version, recorded in the output JSON so round-over-round
+# comparisons know what they're comparing (VERDICT r3 what's-wrong #3):
+#   warm-session-v0  — r1/r2: queries shared the session cache (later
+#                      queries could warm-start off earlier ones)
+#   cache-isolated-v1 — r3 onwards: caching.clear() + clearCache() after
+#                      every repeat; each query rebuilds from the scans.
+# r3's numbers are the comparison base for this protocol (BASELINE.md).
+PROTOCOL = "cache-isolated-v1"
+
+
 def materialize(df) -> int:
     df.write.format("noop").mode("overwrite").save()
     return 0
+
+
+def canary(spark, sf_dir: str):
+    """Never-changing VM-drift canary: a fixed filter+aggregate over
+    lineitem that is NOT part of the query surface and must never be
+    edited — its wall isolates machine/protocol drift from code drift
+    when comparing BENCH_r{N} files."""
+    from pyspark.sql import functions as F
+
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    return (
+        li.filter(F.col("l_quantity") < 24)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("l_extendedprice").alias("sum_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
 
 
 def main() -> None:
@@ -88,6 +117,12 @@ def main() -> None:
     all_walls: dict[str, list[float]] = {}
     total = 0.0
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    canary_walls = []
+    for _ in range(repeats):
+        t0 = time.time()
+        materialize(canary(spark, sf_dir))
+        canary_walls.append(round(time.time() - t0, 3))
+        spark.catalog.clearCache()
     for name, fn in fns.items():
         walls = []
         for _ in range(repeats):
@@ -120,6 +155,9 @@ def main() -> None:
                 "docs": n_docs,
                 "dedup_files_per_sec": round(n_docs / dedup_secs, 1) if dedup_secs else None,
                 "repeats": repeats,
+                "protocol": PROTOCOL,
+                "canary_sec": min(canary_walls),
+                "canary_walls": canary_walls,
                 "all_walls": all_walls,
             }
         )

@@ -33,15 +33,20 @@ def with_global_rank(
     ``order_cols`` without a single-partition window.
 
     The returned DataFrame is range-partitioned and sorted by the key
-    (so a downstream ``orderBy(rank)`` is a no-shuffle sort).  Callers
-    should eventually trigger unpersist via Spark's LRU (the persist is
-    MEMORY_AND_DISK and scoped to the plan).
+    (so a downstream ``orderBy(rank)`` is a no-shuffle sort).  The
+    persist (MEMORY_AND_DISK, needed to pin the sampled range bounds
+    between the two passes) is registered with
+    ``selfclean_spark.caching`` so ``unpersist_all()`` releases it —
+    rankings-heavy long sessions don't accumulate orphan block-manager
+    entries waiting on LRU.
     """
+    from selfclean_spark import caching
+
     spark = df.sparkSession
     if num_partitions is None:
         num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
     n_parts = max(1, min(num_partitions, 2000))
-    sorted_df = (
+    sorted_df = caching.register_persist(
         df.repartitionByRange(n_parts, *order_cols)
         .sortWithinPartitions(*order_cols)
         .withColumn("_pid", F.spark_partition_id())

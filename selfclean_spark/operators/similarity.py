@@ -20,6 +20,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.types import ArrayType, LongType
+from pyspark.storagelevel import StorageLevel
 
 from selfclean_spark.functions.distances import cosine_similarity, get_distance
 from selfclean_spark.operators import candidates as cand_ops
@@ -49,14 +50,28 @@ def _capped_signatures(
     self-join expand — a 10^6-copy embedding family can never create
     10^12 candidate rows.  The size-filter join and the pair join share
     the (table_id, bucket) key, so the exchange is reused.
+
+    The signature table is repartitioned by the bucket key and
+    PERSISTED (mirroring ``candidates.band_pair_stream``): it feeds the
+    bucket-size aggregate AND both self-join sides, so without the
+    persist the hyperplane matmul UDF would re-evaluate once per plan
+    consumer — up to 3× the sketch compute over the full corpus.  The
+    cached relation is (id, table_id, bucket): 24 B/row, the same
+    bytes the text band cache holds; registered with
+    ``selfclean_spark.caching`` so ``unpersist_all()`` releases it.
     """
+    from selfclean_spark import caching
+
     keys = ["table_id", "bucket"]
-    sizes = sigs.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
+    sx = caching.register_persist(
+        sigs.repartition(*keys).persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sizes = sx.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
     dropped = sizes.filter(F.col("bucket_size") > bucket_cap)
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= bucket_cap)
     ).select(*keys)
-    return sigs.join(eligible, keys, "inner"), dropped
+    return sx.join(eligible.hint("shuffle_hash"), keys, "inner"), dropped
 
 
 def _exact_vector_pairs(
@@ -437,6 +452,28 @@ def embedding_cosine_dup_pairs(
     )
 
 
+def _quant_i64(m: np.ndarray, scale: float) -> np.ndarray:
+    """Quantize a (B, dim) float matrix to int64 with the documented
+    exactness contract ENFORCED: the worst-case |dot| of two quantized
+    vectors, max(|iv|)² · dim, must stay < 2^53 so integer dots are
+    exact in both NumPy and DuckDB (and never silently wrap at 2^63 —
+    NumPy wraps, DuckDB raises, and the two engines would diverge
+    without this guard).  Out-of-contract input (embeddings far beyond
+    unit scale, or very high dim at this quant_scale) fails loudly."""
+    iv = np.floor(m * scale + 0.5).astype(np.int64)
+    if iv.size:
+        max_abs = int(np.abs(iv).max())
+        dim = iv.shape[1]
+        if max_abs * max_abs * dim >= (1 << 53):
+            raise ValueError(
+                "semdedup quantization contract violated: "
+                f"max|iv|={max_abs} at dim={dim} gives worst-case "
+                f"|dot| ≥ 2^53 — integer dots are no longer exact. "
+                "Lower quant_scale or normalize the embeddings."
+            )
+    return iv
+
+
 def semdedup_prune(
     embeddings: DataFrame,
     n_centroids: int = 16,
@@ -445,6 +482,8 @@ def semdedup_prune(
     quant_scale: float = 1_000_000.0,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    cell_rows_cap: int = 65_536,
+    slice_rows: int = 16_384,
 ) -> DataFrame:
     """SemDeDup-style semantic deduplication (Abbas et al. 2023,
     arXiv:2303.09540): cluster embeddings into coarse cells, then
@@ -465,6 +504,22 @@ def semdedup_prune(
     deterministic, drop-side conservative (may keep extra rows, never
     false-drops).
 
+    Hot-cell MEMORY is bounded too (not just compute): cell sizes are
+    counted FIRST (one aggregation over the persisted cell assignment,
+    ≤ ``n_centroids`` rows collected), and any cell larger than
+    ``cell_rows_cap`` takes a split path instead of loading the whole
+    cell into one ``applyInPandas`` group — the boilerplate-embedding
+    degenerate cell can no longer OOM a single task.  The split
+    preserves the cap semantics EXACTLY (bit-identical output, tested):
+    rows beyond the first ``comparator_cap`` ids only ever compare
+    against that comparator block, so the block (found by an ids-only
+    per-cell ``row_number``, vectors never enter the sort) is pruned
+    triangularly in one ≤ cap-row group, and the remaining rows are
+    salted into ≤ ``slice_rows`` slices, each pruned against a
+    replicated copy of the block — max pandas group size is
+    ``max(comparator_cap, slice_rows + comparator_cap)`` regardless of
+    cell skew, and over-cap cells are logged.
+
     Bit-deterministic across engines (and the reason this query sits on
     the hard DuckDB-oracle surface): vectors are quantized to int64
     (``floor(x·scale + 0.5)``), cell assignment is the argmax of EXACT
@@ -475,6 +530,8 @@ def semdedup_prune(
     NumPy and DuckDB agree to the last bit.  Zero-norm vectors are
     never dropped and never drop others.
     """
+    from selfclean_spark import caching
+
     rows = (
         embeddings.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
         .orderBy(F.xxhash64("id"), F.col("id"))
@@ -482,23 +539,25 @@ def semdedup_prune(
         .collect()
     )
     fcents = np.stack([np.asarray(r["v"], dtype=np.float64) for r in rows])
-    icents = np.floor(fcents * quant_scale + 0.5).astype(np.int64)
+    icents = _quant_i64(fcents, quant_scale)
 
     @F.pandas_udf("int")
     def cell_of(vecs: pd.Series) -> pd.Series:
         m = np.stack(vecs.to_numpy()).astype(np.float64)
-        iv = np.floor(m * quant_scale + 0.5).astype(np.int64)
+        iv = _quant_i64(m, quant_scale)
         dots = iv @ icents.T  # exact int64
         return pd.Series(np.argmax(dots, axis=1).astype(np.int32))
 
     tau = float(threshold)
     cap = int(comparator_cap)
     scale = float(quant_scale)
+    group_cap = max(int(cell_rows_cap), cap)
+    out_schema = "id long, cell int, keep boolean"
 
     def prune(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values("id").reset_index(drop=True)
         m = np.stack(pdf["v"].to_numpy()).astype(np.float64)
-        iv = np.floor(m * scale + 0.5).astype(np.int64)
+        iv = _quant_i64(m, scale)
         n2 = (iv * iv).sum(axis=1)
         n = len(pdf)
         c = min(cap, n)
@@ -520,11 +579,115 @@ def semdedup_prune(
             {"id": pdf["id"], "cell": pdf["cell"], "keep": keep}
         )
 
+    def prune_slice(pdf: pd.DataFrame) -> pd.DataFrame:
+        """One salted slice of a hot cell + the replicated comparator
+        block: slice rows keep iff no EARLIER comparator is τ-near.
+        (Comparator ids are the cell's ``cap`` smallest, so they are
+        all earlier than every slice row; the id guard keeps the
+        semantics explicit.)  Emits slice rows only."""
+        comp_pdf = pdf[pdf["is_comp"]].sort_values("id").reset_index(drop=True)
+        sl = pdf[~pdf["is_comp"]].reset_index(drop=True)
+        if not len(sl):
+            return pd.DataFrame({"id": [], "cell": [], "keep": []}).astype(
+                {"id": "int64", "cell": "int32", "keep": "bool"}
+            )
+        civ = _quant_i64(
+            np.stack(comp_pdf["v"].to_numpy()).astype(np.float64), scale
+        )
+        siv = _quant_i64(np.stack(sl["v"].to_numpy()).astype(np.float64), scale)
+        cn2 = (civ * civ).sum(axis=1)
+        sn2 = (siv * siv).sum(axis=1)
+        csq, ssq = np.sqrt(cn2.astype(np.float64)), np.sqrt(sn2.astype(np.float64))
+        cid = comp_pdf["id"].to_numpy()
+        sid = sl["id"].to_numpy()
+        keep = np.ones(len(sl), dtype=bool)
+        chunk = max(256, (1 << 22) // max(len(civ), 1))
+        for s in range(0, len(sl), chunk):
+            e = min(s + chunk, len(sl))
+            dots = (siv[s:e] @ civ.T).astype(np.float64)
+            with np.errstate(divide="ignore", invalid="ignore"):
+                cos = dots / (ssq[s:e, None] * csq[None, :])
+            hit = cos >= tau
+            hit &= (cn2 > 0)[None, :] & (sn2[s:e] > 0)[:, None]
+            hit &= cid[None, :] < sid[s:e, None]
+            keep[s:e] = ~hit.any(axis=1)
+        return pd.DataFrame({"id": sid, "cell": sl["cell"], "keep": keep})
+
     cells = embeddings.select(
         F.col(id_col).alias("id"),
         F.col(vec_col).alias("v"),
         cell_of(F.col(vec_col)).alias("cell"),
     )
-    return cells.groupBy("cell").applyInPandas(
-        prune, "id long, cell int, keep boolean"
+    # count-first: one pass over the persisted assignment decides which
+    # cells are safe as single pandas groups.  ≤ n_centroids rows come
+    # back to the driver; the persist also guarantees the cell_of UDF
+    # runs ONCE even though the relation now has several consumers.
+    cells = caching.register_persist(
+        cells.persist(StorageLevel.MEMORY_AND_DISK)
     )
+    sizes = {
+        int(r["cell"]): int(r["n"])
+        for r in cells.groupBy("cell").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    hot = sorted(c for c, n in sizes.items() if n > group_cap)
+    if hot:
+        import logging
+
+        logging.getLogger(__name__).warning(
+            "semdedup: %d hot cell(s) over cell_rows_cap=%d split into "
+            "bounded slices: %s",
+            len(hot), group_cap, {c: sizes[c] for c in hot},
+        )
+    if not hot:
+        return cells.groupBy("cell").applyInPandas(prune, out_schema)
+
+    cold = cells.filter(~F.col("cell").isin(hot))
+    cold_out = cold.groupBy("cell").applyInPandas(prune, out_schema)
+
+    hot_rows = cells.filter(F.col("cell").isin(hot))
+    # comparator block = first `cap` ids per hot cell, found with an
+    # ids-only window — the per-cell sort never touches the vectors
+    w = Window.partitionBy("cell").orderBy("id")
+    comp_ids = (
+        hot_rows.select("cell", "id")
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") <= cap)
+        .select("cell", "id")
+    )
+    comp_rows = hot_rows.join(F.broadcast(comp_ids), ["cell", "id"])
+    comp_out = comp_rows.groupBy("cell").applyInPandas(prune, out_schema)
+
+    # rows beyond the block: salt into ≤ slice_rows slices, replicate
+    # the block into every (cell, salt) group
+    n_salts = {
+        c: -(-(sizes[c] - cap) // max(int(slice_rows), 1)) for c in hot
+    }
+    salts_df = F.broadcast(
+        cells.sparkSession.createDataFrame(
+            [(c, n_salts[c]) for c in hot], "cell int, _n_salts int"
+        )
+    )
+    rest = (
+        hot_rows.join(F.broadcast(comp_ids), ["cell", "id"], "left_anti")
+        .join(salts_df, "cell")
+        .withColumn("salt", F.pmod(F.xxhash64("id"), F.col("_n_salts")))
+        .select("cell", "salt", "id", "v", F.lit(False).alias("is_comp"))
+    )
+    comp_rep = (
+        comp_rows.join(salts_df, "cell")
+        .withColumn(
+            "salt",
+            F.explode(
+                F.sequence(
+                    F.lit(0).cast("long"), F.col("_n_salts").cast("long") - 1
+                )
+            ),
+        )
+        .select("cell", "salt", "id", "v", F.lit(True).alias("is_comp"))
+    )
+    slice_out = (
+        rest.unionByName(comp_rep)
+        .groupBy("cell", "salt")
+        .applyInPandas(prune_slice, out_schema)
+    )
+    return cold_out.unionByName(comp_out).unionByName(slice_out)

@@ -351,6 +351,61 @@ WITH corpus AS (
 SELECT id_a, id_b, round(c, 6) AS cosine FROM scored WHERE c >= 0.95
 """
 
+# same planted-suffix contract as queries.pii_scrub (PII_N=50); the
+# regexes are the dialect-portable subset both Java regex and RE2 read
+# identically (char classes, bounded repeats, \b, \d)
+ORACLES["pii_scrub"] = """
+WITH planted AS (
+  SELECT doc_id,
+         CASE WHEN doc_id < 50
+              THEN text || ' contact user' || doc_id
+                   || '@example.com from 10.0.' || (doc_id % 250)
+                   || '.' || (doc_id % 100)
+              ELSE text END AS text
+  FROM documents
+), scrubbed AS (
+  SELECT doc_id,
+         len(regexp_extract_all(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}'))::BIGINT AS n_emails,
+         len(regexp_extract_all(text,
+             '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b'))::BIGINT AS n_ips,
+         regexp_replace(
+           regexp_replace(text,
+             '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g')
+           AS scrubbed_text
+  FROM planted
+)
+SELECT doc_id, n_emails, n_ips, scrubbed_text
+FROM scrubbed WHERE n_emails + n_ips > 0
+"""
+
+# lsh_topk on the planted-copy corpus is structurally exact (see
+# queries.lsh_topk_planted): the twin is guaranteed a candidate and its
+# cosine dominates, so approximate top-1 == brute-force top-1 for every
+# row surviving the >= 0.95 filter
+ORACLES["lsh_topk_planted"] = """
+WITH corpus AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  UNION ALL
+  SELECT vec_id + 1000000, embedding::DOUBLE[] FROM embeddings WHERE vec_id < 25
+), scored AS (
+  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+         list_dot_product(a.v, b.v)
+           / (sqrt(list_dot_product(a.v, a.v))
+            * sqrt(list_dot_product(b.v, b.v))) AS cos_raw
+  FROM corpus a JOIN corpus b ON a.vec_id <> b.vec_id
+), ranked AS (
+  SELECT query_id, neighbor_id, cos_raw,
+         row_number() OVER (PARTITION BY query_id
+                            ORDER BY cos_raw DESC, neighbor_id ASC) AS rk
+  FROM scored
+)
+SELECT query_id, rk::BIGINT AS knn_rank, neighbor_id,
+       round(cos_raw, 6) AS cosine
+FROM ranked WHERE rk = 1 AND cos_raw >= 0.95
+"""
+
 ORACLES["token_jaccard_pairs"] = """
 WITH raw_postings AS (
   SELECT doc_id,

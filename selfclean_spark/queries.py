@@ -90,6 +90,23 @@ def _docs_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     return caching.get_or_build("docs_components", sf_dir, spark, build)
 
 
+# sf_dir -> (owning session, documents row count): the corpus size is
+# static per sf_dir, so repeated auto_cut_flags calls shouldn't pay a
+# dedicated count job each (VERDICT r3 next-round #7)
+_N_DOCS: dict[str, tuple[SparkSession, int]] = {}
+
+
+def _docs_count(spark: SparkSession, sf_dir: str) -> int:
+    """Session-memoized ``documents`` row count (a parquet count is
+    metadata-only, but it is still one driver action per call)."""
+    cached = _N_DOCS.get(sf_dir)
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    n = _t(spark, sf_dir, "documents").count()
+    _N_DOCS[sf_dir] = (spark, n)
+    return n
+
+
 def _docs_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents → the (id, repo, path, lang) metadata dimension the
     ranking operators join (repo ≙ source, path ≙ doc_id string)."""
@@ -673,9 +690,8 @@ def auto_cut_flags(spark, sf_dir):
     and the fit/cutoff arithmetic is closed-form in both engines."""
     from selfclean_spark.operators.autoclean import fraction_cut
 
-    d = _t(spark, sf_dir, "documents")
     edges = _docs_edges(spark, sf_dir)
-    n_docs = d.count()
+    n_docs = _docs_count(spark, sf_dir)
     scores = edges.select("id_a", "id_b", "dist")
     flagged, _fit = fraction_cut(
         scores, "dist", n_samples=n_docs,
@@ -719,6 +735,29 @@ def lsh_topk_ann(spark, sf_dir):
     # dim=64 is the testdata embedding width (TESTDATA.md) — passing it
     # avoids a driver-side first() action inside the query builder
     return S.lsh_topk(e, k=5, n_bits=10, n_tables=6, dim=64).select(
+        "query_id", F.col("knn_rank").cast("long").alias("knn_rank"),
+        "neighbor_id", "cosine",
+    )
+
+
+def lsh_topk_planted(spark, sf_dir):
+    """Sign-sketch ANN top-1 on a corpus with planted exact-copy
+    vectors — the hard-oracle row for the ANN surface (VERDICT r3
+    next-round #5; ``lsh_topk_ann`` on the natural corpus stays the
+    recall-curve target, rows-only).  Structurally exact here: a
+    planted copy collides with its original in EVERY LSH table
+    (identical sign pattern) and additionally rides the exact-vector
+    fast path, so the twin is always a candidate; its cosine ≈ 1.0
+    beats every natural neighbor (max natural cosine < 0.9), so the
+    approximate rank-1 equals the exact rank-1 for every query that
+    passes the ≥ 0.95 filter — which the DuckDB twin recomputes by
+    brute force."""
+    e = _t(spark, sf_dir, "embeddings")
+    planted = e.filter(F.col("vec_id") < 25).withColumn(
+        "vec_id", F.col("vec_id") + 1_000_000
+    )
+    res = S.lsh_topk(e.unionByName(planted), k=1, n_bits=10, n_tables=6, dim=64)
+    return res.filter(F.col("cosine") >= 0.95).select(
         "query_id", F.col("knn_rank").cast("long").alias("knn_rank"),
         "neighbor_id", "cosine",
     )
@@ -857,10 +896,16 @@ def ngram_contamination(spark, sf_dir):
 
     Split contract (shared with ``decontamination_pairs``):
     ``doc_id % 5 == 0`` → eval.  Shape for 100 TB: grams are hashed to
-    64-bit before any shuffle, the eval side is tiny relative to the
-    training corpus so it broadcasts — the contamination scan is ONE
-    broadcast-hash semi-join over the training-gram stream followed by
-    a partial-aggregatable pair count; no shuffle touches the corpus.
+    64-bit before any shuffle, and the join strategy is left to AQE —
+    when the eval gram table fits the broadcast threshold (the common
+    release-pipeline case: a fixed eval suite vs a huge training
+    corpus) the runtime picks a broadcast-hash join over the
+    training-gram stream; when eval is a constant FRACTION of the
+    corpus (as in this 20% synthetic split, which at 100 TB would blow
+    Spark's 8 GB broadcast hard limit) it degrades gracefully to a
+    shuffled hash join on the 8-byte gram key.  No forced
+    ``broadcast()`` hint — a size assumption the data can violate
+    shouldn't be hard-coded into the plan (ADVICE r3).
     """
     d = _t(spark, sf_dir, "documents")
     toks = d.select(
@@ -889,7 +934,7 @@ def ngram_contamination(spark, sf_dir):
         F.col("doc_id").alias("train_id"), "gh"
     )
     return (
-        tr.join(F.broadcast(ev), "gh")
+        tr.join(ev, "gh")
         .groupBy("eval_id", "train_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_shared_grams"))
         .orderBy("eval_id", "train_id")
@@ -959,6 +1004,64 @@ def substring_containment_pairs(spark, sf_dir):
             .alias("outer_id"),
         )
         .orderBy("inner_id", "outer_id")
+    )
+
+
+# PII scrub contract (shared with the DuckDB twin): the first PII_N
+# docs get a deterministic synthetic contact suffix planted (the
+# natural corpus is PII-free word soup, so without planting the query
+# proves nothing).  The regexes are deliberately simple and
+# dialect-portable (Java regex ↔ DuckDB RE2: char classes, {m,n},
+# \b, \d only — no lookarounds).
+PII_N = 50
+PII_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+PII_IP_RE = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+
+
+def pii_scrub(spark, sf_dir):
+    """PII redaction release check (the C4/Dolma-style scrub pass real
+    training-data pipelines run before release): detect and redact
+    email addresses and IPv4 literals, report every affected doc with
+    its match counts and fully scrubbed text.  Oracle-checked — DuckDB
+    replants the same suffixes and runs the same regexes via RE2.
+
+    100-TB shape: pure native ``regexp_count``/``regexp_replace``
+    column expressions — map-side only, whole-stage codegen, no
+    shuffle, no Python; the scan reads just (doc_id, text) and the
+    match-count filter prunes clean documents before anything wide is
+    built."""
+    d = _t(spark, sf_dir, "documents")
+    planted = d.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") < PII_N,
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@example.com from 10.0."),
+                (F.col("doc_id") % 250).cast("string"),
+                F.lit("."),
+                (F.col("doc_id") % 100).cast("string"),
+            ),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    scrubbed = planted.select(
+        "doc_id",
+        F.regexp_count("text", F.lit(PII_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count("text", F.lit(PII_IP_RE)).cast("long").alias("n_ips"),
+        F.regexp_replace(
+            F.regexp_replace("text", PII_EMAIL_RE, "<EMAIL>"),
+            PII_IP_RE,
+            "<IP>",
+        ).alias("scrubbed_text"),
+    )
+    return (
+        scrubbed.filter((F.col("n_emails") + F.col("n_ips")) > 0)
+        .select("doc_id", "n_emails", "n_ips", "scrubbed_text")
+        .orderBy("doc_id")
     )
 
 

@@ -393,3 +393,33 @@ def test_cc_disjoint_cliques_and_star(spark):
     assert by_comp[0] == set(range(30))
     assert by_comp[1000] == {1000 + i for i in range(30)}
     assert by_comp[5000] == {5000} | {5000 + i for i in range(1, 101)}
+
+
+def test_lsh_topk_planted_query_structural(spark):
+    """The planted-copy ANN configuration (queries.lsh_topk_planted)
+    is structurally exact: every planted twin pair reports itself at
+    rank 1, both directions, and nothing else survives the τ filter —
+    the property that puts the ANN surface on the hard-oracle gate."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.lsh_topk_planted(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 50
+    assert all(r.knn_rank == 1 and r.cosine >= 0.95 for r in rows)
+    pairs = {(r.query_id, r.neighbor_id) for r in rows}
+    for i in range(25):
+        assert (i, i + 1_000_000) in pairs
+        assert (i + 1_000_000, i) in pairs
+
+
+def test_pii_scrub_query_structural(spark):
+    """Planted emails/IPs are detected, counted, and redacted; the
+    scrubbed text carries no raw PII (queries.pii_scrub)."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.pii_scrub(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 50
+    for r in rows:
+        assert r.n_emails == 1 and r.n_ips == 1
+        assert "<EMAIL>" in r.scrubbed_text and "<IP>" in r.scrubbed_text
+        assert "@example.com" not in r.scrubbed_text
+        assert "10.0." not in r.scrubbed_text

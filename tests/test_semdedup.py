@@ -136,3 +136,49 @@ def test_determinism_across_partitionings(spark):
         )
         outs.append(sorted(map(tuple, out.collect())))
     assert outs[0] == outs[1]
+
+
+def test_hot_cell_split_matches_whole_group_path(spark):
+    """Cells over ``cell_rows_cap`` take the bounded split path
+    (comparator block + salted slices) — output must be IDENTICAL to
+    the whole-group path at the same comparator_cap (VERDICT r3 #3).
+    The 200-copy planted family lands in one cell by construction, so
+    the split path is guaranteed to trigger at cell_rows_cap=50."""
+    rng = np.random.default_rng(5)
+    v = rng.normal(size=12).astype(np.float32)
+    # family occupies the LOW ids so it owns the comparator block —
+    # cap semantics then prune it to one survivor (rows beyond the cap
+    # compare against the first `cap` ids only)
+    rows = [(int(k), v.tolist()) for k in range(200)]
+    rows += [
+        (500 + i, rng.normal(size=12).astype(np.float32).tolist())
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    kw = dict(n_centroids=4, threshold=0.95, comparator_cap=8)
+    whole = sorted(
+        map(tuple, S.semdedup_prune(df, cell_rows_cap=10**9, **kw).collect())
+    )
+    split = sorted(
+        map(
+            tuple,
+            S.semdedup_prune(df, cell_rows_cap=50, slice_rows=16, **kw).collect(),
+        )
+    )
+    assert split == whole
+    ref = _reference_prune(rows, _centroid_ids(spark, rows, 4), 4, 0.95, 8)
+    assert {r[0]: (r[1], r[2]) for r in split} == ref
+    # the family is star-pruned: first member kept, all copies dropped
+    fam = {r[0]: r[2] for r in split if r[0] < 200}
+    assert fam[0] is True
+    assert sum(fam.values()) == 1
+
+
+def test_quantization_contract_enforced(spark):
+    """Out-of-contract input (|dot| would exceed 2^53, where integer
+    dots stop being exact and NumPy would silently wrap at 2^63 while
+    DuckDB raises) must fail loudly, not diverge (ADVICE r3)."""
+    rows = [(0, [1.0e6] * 16), (1, [1.0e6] * 16)]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    with pytest.raises(ValueError, match="quantization contract"):
+        S.semdedup_prune(df, n_centroids=1, threshold=0.9)
