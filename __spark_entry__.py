@@ -73,6 +73,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_contamination": Q.ngram_contamination,
         "substring_containment_pairs": Q.substring_containment_pairs,
         "pii_scrub": Q.pii_scrub,
+        "gopher_quality_flags": Q.gopher_quality_flags,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)
         "near_dup_ranking": Q.near_dup_ranking,

@@ -41,6 +41,7 @@ HEADLINE = [
     "ngram_contamination",
     "substring_containment_pairs",
     "pii_scrub",
+    "gopher_quality_flags",
     # text analysis
     "doc_stats",
     "quality_by_source",

@@ -456,6 +456,35 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 """
 
+# Gopher-rule quality gate (queries.gopher_quality_flags): exact
+# integer counts + one IEEE division per metric, so the UNROUNDED
+# pass/fail comparisons agree between engines
+ORACLES["gopher_quality_flags"] = f"""
+WITH t AS (
+  SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w)::BIGINT AS n_words,
+         list_sum(list_transform(w, x -> length(x)))::DOUBLE / len(w) AS mwl,
+         (len(regexp_extract_all(text, '#'))
+          + len(regexp_extract_all(text, '\\.\\.\\.')))::DOUBLE / len(w) AS sym_ratio,
+         len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]')))::DOUBLE
+           / len(w) AS alpha_frac,
+         len(list_intersect(list_distinct(list_transform(w, x -> lower(x))),
+                            {STOPWORDS_SQL}))::BIGINT AS n_stopwords
+  FROM t
+)
+SELECT doc_id, n_words,
+       round(mwl, 6) AS mean_word_len,
+       round(sym_ratio, 6) AS symbol_ratio,
+       round(alpha_frac, 6) AS alpha_frac,
+       n_stopwords,
+       (n_words BETWEEN 50 AND 100000 AND mwl >= 3.0 AND mwl <= 10.0
+        AND sym_ratio < 0.1 AND alpha_frac > 0.8 AND n_stopwords >= 2) AS passes
+FROM m
+"""
+
 ORACLES["doc_stats"] = f"""
 WITH t AS (
   SELECT doc_id, text, regexp_split_to_array(trim(text), '\\s+') AS toks

@@ -1007,6 +1007,70 @@ def substring_containment_pairs(spark, sf_dir):
     )
 
 
+# Gopher-rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
+# the published quality-filter suite real pretraining pipelines run);
+# the stopword list is the repo-wide one shared with lang-ID
+GOPHER_MIN_WORDS, GOPHER_MAX_WORDS = 50, 100_000
+GOPHER_MWL_MIN, GOPHER_MWL_MAX = 3.0, 10.0
+GOPHER_MAX_SYMBOL_RATIO = 0.1
+GOPHER_MIN_ALPHA_FRAC = 0.8
+GOPHER_MIN_STOPWORDS = 2
+
+
+def gopher_quality_flags(spark, sf_dir):
+    """Per-document Gopher-style quality gate: word count in
+    [50, 100k], mean word length in [3, 10], symbol-to-word ratio
+    (# / …) < 0.1, ≥80% of words alphabetic, ≥2 distinct stopwords.
+    One row per document with each sub-metric plus the combined
+    ``passes`` verdict.  Oracle-checked: every metric is exact integer
+    arithmetic followed by one IEEE division, recomputed identically
+    in DuckDB.
+
+    100-TB shape: pure native array/lambda expressions over the token
+    split — map-side, codegen, no shuffle, no Python; the pass/fail
+    booleans compare UNROUNDED doubles that both engines derive from
+    identical integers, so the verdict is engine-independent."""
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "text", F.split(F.trim("text"), r"\s+").alias("w")
+    )
+    nw = F.size("w").cast("long")
+    total_chars = F.aggregate(
+        F.transform("w", lambda x: F.length(x).cast("long")),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    mwl = total_chars.cast("double") / nw.cast("double")
+    n_sym = (
+        F.regexp_count("text", F.lit(r"#")) + F.regexp_count("text", F.lit(r"\.\.\."))
+    ).cast("long")
+    sym_ratio = n_sym.cast("double") / nw.cast("double")
+    n_alpha = F.size(F.filter("w", lambda x: x.rlike("[A-Za-z]"))).cast("long")
+    alpha_frac = n_alpha.cast("double") / nw.cast("double")
+    n_stop = F.size(
+        F.array_intersect(
+            F.array_distinct(F.transform("w", F.lower)),
+            F.array(*[F.lit(s) for s in T.STOPWORDS]),
+        )
+    ).cast("long")
+    passes = (
+        nw.between(GOPHER_MIN_WORDS, GOPHER_MAX_WORDS)
+        & (mwl >= GOPHER_MWL_MIN) & (mwl <= GOPHER_MWL_MAX)
+        & (sym_ratio < GOPHER_MAX_SYMBOL_RATIO)
+        & (alpha_frac > GOPHER_MIN_ALPHA_FRAC)
+        & (n_stop >= GOPHER_MIN_STOPWORDS)
+    )
+    return t.select(
+        "doc_id",
+        nw.alias("n_words"),
+        F.round(mwl, 6).alias("mean_word_len"),
+        F.round(sym_ratio, 6).alias("symbol_ratio"),
+        F.round(alpha_frac, 6).alias("alpha_frac"),
+        n_stop.alias("n_stopwords"),
+        passes.alias("passes"),
+    ).orderBy("doc_id")
+
+
 # PII scrub contract (shared with the DuckDB twin): the first PII_N
 # docs get a deterministic synthetic contact suffix planted (the
 # natural corpus is PII-free word soup, so without planting the query

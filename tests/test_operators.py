@@ -423,3 +423,23 @@ def test_pii_scrub_query_structural(spark):
         assert "<EMAIL>" in r.scrubbed_text and "<IP>" in r.scrubbed_text
         assert "@example.com" not in r.scrubbed_text
         assert "10.0." not in r.scrubbed_text
+
+
+def test_gopher_quality_flags_structural(spark):
+    """Gopher-rule gate is non-vacuous on the corpus and internally
+    consistent (passes ⇔ every sub-metric within its threshold)."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.gopher_quality_flags(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 500
+    n_pass = sum(r.passes for r in rows)
+    assert 0 < n_pass < 500
+    for r in rows[:50]:
+        expect = (
+            50 <= r.n_words <= 100_000
+            and 3.0 <= r.mean_word_len <= 10.0
+            and r.symbol_ratio < 0.1
+            and r.alpha_frac > 0.8
+            and r.n_stopwords >= 2
+        )
+        assert r.passes == expect
