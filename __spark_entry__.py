@@ -74,6 +74,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "substring_containment_pairs": Q.substring_containment_pairs,
         "pii_scrub": Q.pii_scrub,
         "gopher_quality_flags": Q.gopher_quality_flags,
+        "source_mixture_weights": Q.source_mixture_weights,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)
         "near_dup_ranking": Q.near_dup_ranking,

@@ -42,6 +42,7 @@ HEADLINE = [
     "substring_containment_pairs",
     "pii_scrub",
     "gopher_quality_flags",
+    "source_mixture_weights",
     # text analysis
     "doc_stats",
     "quality_by_source",

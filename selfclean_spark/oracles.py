@@ -456,6 +456,25 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 """
 
+# temperature-0.5 source mixing weights (queries.source_mixture_weights):
+# quantized-sqrt integer denominators make the normalization
+# summation-order-independent and engine-exact
+ORACLES["source_mixture_weights"] = """
+WITH per AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(len(regexp_split_to_array(trim(text), '\\s+')))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+), q AS (
+  SELECT *, floor(sqrt(n_tokens::DOUBLE) * 1000000 + 0.5)::BIGINT AS qv FROM per
+), tot AS (
+  SELECT sum(n_tokens)::BIGINT AS tt, sum(qv)::BIGINT AS tq FROM q
+)
+SELECT source, n_docs, n_tokens,
+       round(n_tokens::DOUBLE / tt, 6) AS token_share,
+       round(qv::DOUBLE / tq, 6) AS weight
+FROM q, tot
+"""
+
 # Gopher-rule quality gate (queries.gopher_quality_flags): exact
 # integer counts + one IEEE division per metric, so the UNROUNDED
 # pass/fail comparisons agree between engines

@@ -1007,6 +1007,63 @@ def substring_containment_pairs(spark, sf_dir):
     )
 
 
+def source_mixture_weights(spark, sf_dir):
+    """Temperature-based source mixing weights for a training-data
+    release (the multilingual-sampling practice of XLM-R / Gopher:
+    upsample small sources with p_s ∝ (n_s)^α, here α = 0.5): per
+    source, doc/token counts, the natural token share, and the
+    α=0.5 sampling weight.
+
+    Engine-exact by construction (the repo's integer-quantization
+    trick): ``sqrt`` is IEEE-correctly-rounded in both engines, the
+    per-source sqrt is quantized to int64 (× 10^6, half-up), and both
+    the token total and the quantized-weight denominator are EXACT
+    integer sums — so the only float steps are one sqrt and one
+    division per row, identical bit-for-bit in Spark and DuckDB.
+    (A float Σ sqrt(n_s) denominator would be summation-order
+    dependent and engine-divergent; the quantized integer sum is not.)
+
+    100-TB shape: one map-side-combinable aggregation by source, then
+    a broadcast join of the 1-row totals — the wide table is never
+    reshuffled and the per-source relation is |sources|-sized."""
+    d = _t(spark, sf_dir, "documents")
+    per = (
+        d.select(
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+        )
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+        )
+        .withColumn(
+            "q",
+            F.floor(
+                F.sqrt(F.col("n_tokens").cast("double")) * 1_000_000 + F.lit(0.5)
+            ).cast("long"),
+        )
+    )
+    tot = per.agg(
+        F.sum("n_tokens").alias("tt"), F.sum("q").alias("tq")
+    )
+    return (
+        per.crossJoin(F.broadcast(tot))
+        .select(
+            "source",
+            "n_docs",
+            "n_tokens",
+            F.round(
+                F.col("n_tokens").cast("double") / F.col("tt").cast("double"), 6
+            ).alias("token_share"),
+            F.round(
+                F.col("q").cast("double") / F.col("tq").cast("double"), 6
+            ).alias("weight"),
+        )
+        .orderBy("source")
+    )
+
+
 # Gopher-rule thresholds (Rae et al. 2021, arXiv:2112.11446 §A1.1 —
 # the published quality-filter suite real pretraining pipelines run);
 # the stopword list is the repo-wide one shared with lang-ID

@@ -443,3 +443,18 @@ def test_gopher_quality_flags_structural(spark):
             and r.n_stopwords >= 2
         )
         assert r.passes == expect
+
+
+def test_source_mixture_weights_structural(spark):
+    """Temperature-0.5 mixing: weights are a probability vector and
+    compress the natural shares (small sources upweighted, large ones
+    downweighted) — the documented α=0.5 sampling behavior."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.source_mixture_weights(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    assert abs(sum(r.weight for r in rows) - 1.0) < 1e-4
+    smallest = min(rows, key=lambda r: r.n_tokens)
+    largest = max(rows, key=lambda r: r.n_tokens)
+    assert smallest.weight > smallest.token_share
+    assert largest.weight < largest.token_share

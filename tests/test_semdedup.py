@@ -182,3 +182,28 @@ def test_quantization_contract_enforced(spark):
     df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
     with pytest.raises(ValueError, match="quantization contract"):
         S.semdedup_prune(df, n_centroids=1, threshold=0.9)
+
+
+def test_hot_cell_ten_thousand_copies_bounded(spark):
+    """The VERDICT-r3 scenario verbatim: a 10^4-copy boilerplate
+    embedding family (single degenerate cell).  With the split path the
+    largest pandas group is ~slice_rows + comparator_cap rows instead
+    of the full 10^4-row cell; output must still be the star prune —
+    one survivor, everything else dropped against it."""
+    v = [0.3, -0.2, 0.9, 0.1]
+    rows = [(int(k), v) for k in range(10_000)]
+    rows += [(20_000, [0.9, 0.3, -0.1, 0.2]), (20_001, [-0.5, 0.1, 0.2, 0.8])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = S.semdedup_prune(
+        df,
+        n_centroids=2,
+        threshold=0.99,
+        comparator_cap=64,
+        cell_rows_cap=1_024,
+        slice_rows=512,
+    )
+    got = {r["id"]: r["keep"] for r in out.collect()}
+    assert len(got) == 10_002
+    fam_keeps = [i for i in range(10_000) if got[i]]
+    assert fam_keeps == [0]
+    assert got[20_000] and got[20_001]
