@@ -75,6 +75,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "pii_scrub": Q.pii_scrub,
         "gopher_quality_flags": Q.gopher_quality_flags,
         "source_mixture_weights": Q.source_mixture_weights,
+        "packing_stats": Q.packing_stats,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)
         "near_dup_ranking": Q.near_dup_ranking,

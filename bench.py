@@ -43,6 +43,7 @@ HEADLINE = [
     "pii_scrub",
     "gopher_quality_flags",
     "source_mixture_weights",
+    "packing_stats",
     # text analysis
     "doc_stats",
     "quality_by_source",

@@ -456,6 +456,30 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 """
 
+# packing budget (queries.packing_stats, L=32): the (x + L-1)/L
+# divisions are by a power of two, hence exact in IEEE doubles — floor
+# and the integer sums agree bit-for-bit between engines
+ORACLES["packing_stats"] = """
+WITH t AS (
+  SELECT source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tok
+  FROM documents
+), agg AS (
+  SELECT source, count(*)::BIGINT AS n_docs,
+         sum(tok)::BIGINT AS total_tokens,
+         sum(floor((tok + 31) / 32.0))::BIGINT AS sequences_nopack,
+         sum(CASE WHEN tok > 32 THEN 1 ELSE 0 END)::BIGINT AS n_truncated_docs
+  FROM t GROUP BY 1
+)
+SELECT source, n_docs, total_tokens,
+       floor((total_tokens + 31) / 32.0)::BIGINT AS sequences_concat,
+       sequences_nopack,
+       round((sequences_nopack * 32 - total_tokens)::DOUBLE
+             / (sequences_nopack * 32), 6) AS pad_waste_frac,
+       n_truncated_docs
+FROM agg
+"""
+
 # temperature-0.5 source mixing weights (queries.source_mixture_weights):
 # quantized-sqrt integer denominators make the normalization
 # summation-order-independent and engine-exact

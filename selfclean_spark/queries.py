@@ -1007,6 +1007,56 @@ def substring_containment_pairs(spark, sf_dir):
     )
 
 
+# context length for the packing-budget query: a power of two (the
+# (tok + L-1)/L double divisions are then EXACT in both engines) sized
+# so the synthetic corpus's short docs exercise both the truncation
+# and the multi-sequence branches; the arithmetic is L-independent
+PACK_CTX = 32
+
+
+def packing_stats(spark, sf_dir):
+    """Sequence-packing budget per source (the training-run planning
+    pass: how many context windows does this corpus cost?): token
+    totals, sequences needed under concatenation packing
+    (``ceil(total/L)``), sequences without packing (``Σ ceil(tok/L)``),
+    the padding-waste fraction that no-packing implies, and how many
+    docs exceed one context.  All integer arithmetic plus one IEEE
+    division — the DuckDB twin is bit-equal.
+
+    100-TB shape: one map-side-combinable aggregation by source over
+    native expressions; nothing wide shuffles."""
+    L = PACK_CTX
+    d = _t(spark, sf_dir, "documents")
+    t = d.select(
+        "source",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+    )
+    seqs_doc = F.floor((F.col("tok") + (L - 1)) / float(L)).cast("long")
+    agg = t.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("tok").alias("total_tokens"),
+        F.sum(seqs_doc).alias("sequences_nopack"),
+        F.sum(F.when(F.col("tok") > L, 1).otherwise(0))
+        .cast("long")
+        .alias("n_truncated_docs"),
+    )
+    padded = F.col("sequences_nopack") * L
+    return agg.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        F.floor((F.col("total_tokens") + (L - 1)) / float(L))
+        .cast("long")
+        .alias("sequences_concat"),
+        "sequences_nopack",
+        F.round(
+            (padded - F.col("total_tokens")).cast("double") / padded.cast("double"),
+            6,
+        ).alias("pad_waste_frac"),
+        "n_truncated_docs",
+    ).orderBy("source")
+
+
 def source_mixture_weights(spark, sf_dir):
     """Temperature-based source mixing weights for a training-data
     release (the multilingual-sampling practice of XLM-R / Gopher:

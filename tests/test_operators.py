@@ -458,3 +458,34 @@ def test_source_mixture_weights_structural(spark):
     largest = max(rows, key=lambda r: r.n_tokens)
     assert smallest.weight > smallest.token_share
     assert largest.weight < largest.token_share
+
+
+def test_vector_lsh_persist_released_by_caching_clear(spark, vecs):
+    """The sign-sketch signature persist added in r4 is registered with
+    the caching registry: clear() must release it (same discipline as
+    the text band cache and the two-pass rank persist)."""
+    from selfclean_spark import caching
+
+    caching.clear(blocking=True)
+    sc = spark.sparkContext._jsc.sc()
+    base = sc.getPersistentRDDs().size()
+    res = S.lsh_topk(vecs, k=2, n_bits=4, n_tables=4)
+    res.count()
+    assert sc.getPersistentRDDs().size() > base
+    caching.clear(blocking=True)
+    assert sc.getPersistentRDDs().size() <= base
+
+
+def test_packing_stats_structural(spark):
+    """Packing-budget invariants: concat packing never needs more
+    sequences than no-packing; padding waste is in [0, 1); totals are
+    consistent with the token sums."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.packing_stats(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 1
+    for r in rows:
+        assert r.sequences_concat <= r.sequences_nopack
+        assert 0.0 <= r.pad_waste_frac < 1.0
+        assert r.sequences_nopack * 32 >= r.total_tokens
+        assert 0 <= r.n_truncated_docs <= r.n_docs
