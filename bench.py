@@ -44,6 +44,7 @@ HEADLINE = [
     "gopher_quality_flags",
     "source_mixture_weights",
     "packing_stats",
+    "duplicated_ngram_spans",
     # text analysis
     "doc_stats",
     "quality_by_source",

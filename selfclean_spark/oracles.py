@@ -456,6 +456,23 @@ JOIN sizes sa ON sa.doc_id = id_a
 JOIN sizes sb ON sb.doc_id = id_b
 """
 
+# duplicated-span report (queries.duplicated_ngram_spans): DuckDB
+# recomputes directly on the strings, which also cross-checks the
+# Spark side's hash-first two-pass rewrite
+ORACLES["duplicated_ngram_spans"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS t FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), grams AS (
+  SELECT doc_id,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS gram
+  FROM toks
+)
+SELECT gram, count(*)::BIGINT AS df, min(doc_id) AS example_doc
+FROM grams GROUP BY 1 HAVING count(*) >= 5
+"""
+
 # packing budget (queries.packing_stats, L=32): the (x + L-1)/L
 # divisions are by a power of two, hence exact in IEEE doubles — floor
 # and the integer sums agree bit-for-bit between engines

@@ -1007,6 +1007,61 @@ def substring_containment_pairs(spark, sf_dir):
     )
 
 
+# duplicated-span report contract: token window + doc-frequency floor
+# (window 3 is the scale at which this synthetic word-soup corpus has
+# genuine cross-doc repeats; real code corpora flag much longer spans)
+DUPSPAN_W = 3
+DUPSPAN_MIN_DF = 5
+
+
+def duplicated_ngram_spans(spark, sf_dir):
+    """Cross-document duplicated-span report (the signal behind
+    Lee et al. 2021, "Deduplicating Training Data Makes Language
+    Models Better": verbatim token spans repeated across many
+    documents are memorization/boilerplate hot-spots): every token
+    3-gram appearing in ≥ 5 distinct documents, with its doc
+    frequency and the lowest doc id containing it.
+
+    100-TB shape (two-pass, hash-first): pass 1 counts DISTINCT-doc
+    frequencies over 8-byte gram hashes only — the corpus-wide shuffle
+    never carries strings.  Pass 2 recovers the span TEXT only for the
+    flagged hashes (a broadcast semi-join into the gram stream), so
+    string bytes shuffle only for the tiny over-threshold set.  The
+    DuckDB twin recomputes the same report directly on the strings —
+    agreement also cross-checks the hash-first rewrite itself."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= DUPSPAN_W)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (DUPSPAN_W - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + k) for k in range(DUPSPAN_W)]
+            ),
+        )
+    )
+    grams = toks.select("doc_id", F.explode(gram_arr).alias("gram"))
+    hashed = grams.select("doc_id", F.xxhash64("gram").alias("gh"))
+    flagged = (
+        hashed.groupBy("gh")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter(F.col("df") >= DUPSPAN_MIN_DF)
+        .select("gh")
+    )
+    recovered = grams.withColumn("gh", F.xxhash64("gram")).join(
+        F.broadcast(flagged), "gh"
+    )
+    return (
+        recovered.groupBy("gram")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("df"),
+            F.min("doc_id").alias("example_doc"),
+        )
+        .orderBy(F.col("df").desc(), "gram")
+    )
+
+
 # context length for the packing-budget query: a power of two (the
 # (tok + L-1)/L double divisions are then EXACT in both engines) sized
 # so the synthetic corpus's short docs exercise both the truncation

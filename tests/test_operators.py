@@ -489,3 +489,21 @@ def test_packing_stats_structural(spark):
         assert 0.0 <= r.pad_waste_frac < 1.0
         assert r.sequences_nopack * 32 >= r.total_tokens
         assert 0 <= r.n_truncated_docs <= r.n_docs
+
+
+def test_duplicated_ngram_spans_structural(spark):
+    """Cross-doc duplicated-span report: non-empty, df respects the
+    floor, and the example doc really contains its span."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.duplicated_ngram_spans(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) > 0
+    assert all(r.df >= 5 for r in rows)
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(
+            "/root/testdata/sf0.001/documents.parquet"
+        ).collect()
+    }
+    for r in rows[:20]:
+        assert r.gram in " ".join(docs[r.example_doc].split())
