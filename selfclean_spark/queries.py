@@ -1128,9 +1128,14 @@ def source_mixture_weights(spark, sf_dir):
     (A float Σ sqrt(n_s) denominator would be summation-order
     dependent and engine-divergent; the quantized integer sum is not.)
 
-    100-TB shape: one map-side-combinable aggregation by source, then
+    100-TB shape: ONE map-side-combinable aggregation by source, then
     a broadcast join of the 1-row totals — the wide table is never
-    reshuffled and the per-source relation is |sources|-sized."""
+    reshuffled and the per-source relation is |sources|-sized.  The
+    per-source aggregate is persisted (and registered with the caching
+    registry) because it feeds both the totals row and the output —
+    without the persist the corpus scan would run twice."""
+    from pyspark.storagelevel import StorageLevel
+
     d = _t(spark, sf_dir, "documents")
     per = (
         d.select(
@@ -1149,6 +1154,7 @@ def source_mixture_weights(spark, sf_dir):
             ).cast("long"),
         )
     )
+    per = caching.register_persist(per.persist(StorageLevel.MEMORY_AND_DISK))
     tot = per.agg(
         F.sum("n_tokens").alias("tt"), F.sum("q").alias("tq")
     )

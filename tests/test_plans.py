@@ -146,3 +146,39 @@ def test_semdedup_plan_single_exchange_no_cartesian(spark):
     plan = out._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
     assert plan.count("Exchange") == 1
+
+
+def test_release_check_plans_are_map_side(spark):
+    """The r4 release checks claim map-side-only shape (plus the final
+    sort/aggregation): assert the Exchange budget on the optimized
+    plans — a regression that adds a corpus-wide reshuffle fails here."""
+    from selfclean_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    # pure per-row scans: exactly one Exchange (the output orderBy)
+    for name in ("pii_scrub", "gopher_quality_flags"):
+        plan = _plan(getattr(Q, name)(spark, sf))
+        assert plan.count("Exchange") == 1, (name, plan)
+        assert "CartesianProduct" not in plan
+    # one groupBy(source) + orderBy
+    plan = _plan(Q.packing_stats(spark, sf))
+    assert plan.count("Exchange") == 2, plan
+    # hash-first two-pass span report: gh count, broadcast of the
+    # flagged set (the ONE BroadcastHashJoin), gram recovery groupBy,
+    # output sort — and never a string-keyed corpus-wide shuffle
+    # beyond the tiny flagged-gram recovery
+    plan = _plan(Q.duplicated_ngram_spans(spark, sf))
+    assert plan.count("BroadcastHashJoin") == 1, plan
+    assert "CartesianProduct" not in plan
+
+
+def test_mixture_weights_single_corpus_scan(spark):
+    """source_mixture_weights persists the per-source aggregate: the
+    totals row and the output must both read the cache, not re-scan
+    the corpus."""
+    from selfclean_spark import caching
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.source_mixture_weights(spark, "/root/testdata/sf0.001"))
+    assert plan.count("InMemoryTableScan") >= 2, plan
+    caching.clear(blocking=True)
