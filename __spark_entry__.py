@@ -77,6 +77,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_mixture_weights": Q.source_mixture_weights,
         "packing_stats": Q.packing_stats,
         "duplicated_ngram_spans": Q.duplicated_ngram_spans,
+        "holdout_split_counts": Q.holdout_split_counts,
         # the reference's three core product surfaces (r3: now on the
         # hard-oracle surface — rank/fit math recomputed in SQL)
         "near_dup_ranking": Q.near_dup_ranking,

@@ -45,6 +45,7 @@ HEADLINE = [
     "source_mixture_weights",
     "packing_stats",
     "duplicated_ngram_spans",
+    "holdout_split_counts",
     # text analysis
     "doc_stats",
     "quality_by_source",

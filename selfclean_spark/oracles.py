@@ -778,6 +778,67 @@ def _shingle_ctes() -> str:
 )"""
 
 
+def _xxhash64_long_ctes(src: str, keep: str, idcol: str) -> str:
+    """CTE chain recomputing Spark's ``xxhash64(<long>, seed=42)`` in
+    HUGEINT arithmetic for every row of ``src``, carrying ``keep``
+    columns through; ends in ``zhashed(keep…, xh BIGINT)``.  The same
+    constants/rotations as the isolation-ranking oracle (factored so
+    any query keyed on Spark's xxhash64-of-long can ride the hard
+    oracle surface)."""
+    p1, p2, p3 = 0x9E3779B185EBCA87, 0xC2B2AE3D27D4EB4F, 0x165667B19E3779F9
+    p4 = 0x85EBCA77C2B2AE63
+    p5 = 0x27D4EB2F165667C5
+    acc0 = (42 + p5 + 8) & ((1 << 64) - 1)  # seed=42, len=8 bytes
+
+    def rotl(x: str, r: int) -> str:
+        return (
+            f"((({x}) * {1 << r}::HUGEINT % {_M64})"
+            f" + (({x}) // {1 << (64 - r)}::HUGEINT))"
+        )
+
+    unsigned = (
+        f"(CASE WHEN {idcol} < 0 THEN {idcol}::HUGEINT + {_M64}"
+        f" ELSE {idcol}::HUGEINT END)"
+    )
+    return f"""zx0 AS (
+  SELECT {keep}, {_mm(unsigned, p2)} AS k1 FROM {src}
+), zx1 AS (SELECT {keep}, {_mm(rotl('k1', 31), p1)} AS k1m FROM zx0
+), zx2 AS (SELECT {keep}, xor({acc0}::HUGEINT, k1m) AS acc FROM zx1
+), zx3 AS (SELECT {keep},
+    ({_mm(rotl('acc', 27), p1)} + {p4}::HUGEINT) % {_M64} AS acc FROM zx2
+), zx4 AS (SELECT {keep}, xor(acc, acc // 8589934592) AS acc FROM zx3
+), zx5 AS (SELECT {keep}, {_mm('acc', p2)} AS acc FROM zx4
+), zx6 AS (SELECT {keep}, xor(acc, acc // 536870912) AS acc FROM zx5
+), zx7 AS (SELECT {keep}, {_mm('acc', p3)} AS acc FROM zx6
+), zhashed AS (
+  SELECT {keep},
+    CASE WHEN xor(acc, acc // 4294967296) >= 9223372036854775808::HUGEINT
+         THEN (xor(acc, acc // 4294967296) - {_M64})::BIGINT
+         ELSE xor(acc, acc // 4294967296)::BIGINT END AS xh
+  FROM zx7
+)"""
+
+
+# deterministic hash-bucket holdout split (queries.holdout_split_counts):
+# the split is a pure function of xxhash64(doc_id), recomputed here in
+# HUGEINT arithmetic — the whole assignment is engine-checkable
+ORACLES["holdout_split_counts"] = f"""
+WITH src AS (
+  SELECT doc_id, source,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS tok
+  FROM documents
+), {_xxhash64_long_ctes("src", "doc_id, source, tok", "doc_id")},
+assigned AS (
+  SELECT source, tok,
+         CASE ((xh % 10) + 10) % 10
+           WHEN 0 THEN 'test' WHEN 1 THEN 'val' ELSE 'train' END AS split
+  FROM zhashed
+)
+SELECT split, source, count(*)::BIGINT AS n_docs, sum(tok)::BIGINT AS n_tokens
+FROM assigned GROUP BY 1, 2
+"""
+
+
 def _simhash_pairs_sql(max_hamming: int = 8) -> str:
     pows = "[" + ",".join(f"{1 << p}::HUGEINT" for p in range(64)) + "]"
     return f"""

@@ -1007,6 +1007,41 @@ def substring_containment_pairs(spark, sf_dir):
     )
 
 
+def holdout_split_counts(spark, sf_dir):
+    """Deterministic train/val/test holdout assignment (the release-
+    pipeline practice: split by a STABLE content-independent hash so
+    reruns, backfills, and incremental ingests never migrate a
+    document across splits): bucket = xxhash64(doc_id) mod 10 → 0 =
+    test, 1 = val, rest = train; reported as per-(split, source)
+    doc/token counts.  Oracle-checked end-to-end — the DuckDB twin
+    recomputes Spark's xxhash64-of-long in HUGEINT arithmetic, so the
+    assignment itself (not just the counting) is engine-verified.
+
+    100-TB shape: a pure per-row hash + one map-side-combinable
+    aggregation; nothing wide shuffles and the split needs no state,
+    no RNG, and no coordination."""
+    d = _t(spark, sf_dir, "documents")
+    bucket = F.pmod(F.xxhash64("doc_id"), F.lit(10))
+    split = (
+        F.when(bucket == 0, F.lit("test"))
+        .when(bucket == 1, F.lit("val"))
+        .otherwise(F.lit("train"))
+    )
+    return (
+        d.select(
+            split.alias("split"),
+            "source",
+            F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("tok"),
+        )
+        .groupBy("split", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("tok").alias("n_tokens"),
+        )
+        .orderBy("split", "source")
+    )
+
+
 # duplicated-span report contract: token window + doc-frequency floor
 # (window 3 is the scale at which this synthetic word-soup corpus has
 # genuine cross-doc repeats; real code corpora flag much longer spans)

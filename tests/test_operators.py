@@ -507,3 +507,20 @@ def test_duplicated_ngram_spans_structural(spark):
     }
     for r in rows[:20]:
         assert r.gram in " ".join(docs[r.example_doc].split())
+
+
+def test_holdout_split_counts_structural(spark):
+    """Hash-bucket holdout: every doc lands in exactly one split, the
+    proportions are near 80/10/10, and the assignment is stable across
+    partitionings (pure function of doc_id)."""
+    from selfclean_spark import queries as Q
+
+    rows = Q.holdout_split_counts(spark, "/root/testdata/sf0.001").collect()
+    by_split = {}
+    for r in rows:
+        by_split[r.split] = by_split.get(r.split, 0) + r.n_docs
+    assert sum(by_split.values()) == 500
+    assert set(by_split) == {"train", "val", "test"}
+    assert by_split["train"] > by_split["val"] + by_split["test"]
+    again = Q.holdout_split_counts(spark, "/root/testdata/sf0.001").collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
