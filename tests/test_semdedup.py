@@ -207,3 +207,44 @@ def test_hot_cell_ten_thousand_copies_bounded(spark):
     fam_keeps = [i for i in range(10_000) if got[i]]
     assert fam_keeps == [0]
     assert got[20_000] and got[20_001]
+
+
+def test_hot_cell_split_equivalence_randomized(spark):
+    """Randomized configs: the bounded split path must equal the
+    whole-group path for ANY (n_centroids, comparator_cap,
+    cell_rows_cap, slice_rows) — near-duplicate families of random
+    sizes stress the comparator-block/slice interactions the planted
+    fixtures don't."""
+    for seed in (101, 202, 303):
+        rng = np.random.default_rng(seed)
+        rows, nid = [], 0
+        for _ in range(int(rng.integers(1, 4))):
+            v = rng.normal(size=8).astype(np.float32)
+            for _ in range(int(rng.integers(30, 120))):
+                jitter = rng.normal(size=8).astype(np.float32) * np.float32(1e-5)
+                rows.append((nid, (v + jitter).tolist()))
+                nid += 1
+        for _ in range(40):
+            rows.append((nid, rng.normal(size=8).astype(np.float32).tolist()))
+            nid += 1
+        df = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+        kw = dict(
+            n_centroids=int(rng.integers(1, 5)),
+            threshold=0.97,
+            comparator_cap=int(rng.integers(4, 20)),
+        )
+        whole = sorted(
+            map(tuple, S.semdedup_prune(df, cell_rows_cap=10**9, **kw).collect())
+        )
+        split = sorted(
+            map(
+                tuple,
+                S.semdedup_prune(
+                    df,
+                    cell_rows_cap=int(rng.integers(20, 60)),
+                    slice_rows=int(rng.integers(8, 33)),
+                    **kw,
+                ).collect(),
+            )
+        )
+        assert split == whole, (seed, kw)
