@@ -41,8 +41,10 @@ DEFAULT_BUCKET_CAP = 2_000
 
 def _capped_signatures(
     sigs: DataFrame, bucket_cap: int
-) -> tuple[DataFrame, DataFrame]:
-    """(id, table_id, bucket) → (under-cap rows, dropped-bucket log).
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """(id, vec_sha, table_id, bucket) → (under-cap rows, dropped-bucket
+    log, the full persisted signature table — the exact-pair rescue
+    reads the latter: it must see rows in DROPPED buckets too).
 
     Same count-first discipline as ``candidates.candidate_pairs``:
     bucket sizes are aggregated FIRST (map-side combine absorbs hot
@@ -71,21 +73,22 @@ def _capped_signatures(
     eligible = sizes.filter(
         (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= bucket_cap)
     ).select(*keys)
-    return sx.join(eligible.hint("shuffle_hash"), keys, "inner"), dropped
+    return sx.join(eligible.hint("shuffle_hash"), keys, "inner"), dropped, sx
 
 
-def _exact_vector_pairs(
-    embeddings: DataFrame, id_col: str, vec_col: str, pair_cap: int
-) -> DataFrame:
+def _exact_vector_pairs(sigs_cached: DataFrame, pair_cap: int) -> DataFrame:
     """(id_a < id_b) pairs of byte-identical embedding vectors — the
     fast path that keeps identical-vector families (the very rows that
     overflow sign-sketch buckets) pairable after the bucket cap.
-    Reuses the sha-equality kernel: groups ≤ ``pair_cap`` emit all
+
+    Reads the PERSISTED signature table (which carries ``vec_sha``
+    computed in the same scan as the sketch — no second corpus pass;
+    one table's rows suffice since vec_sha repeats per table) and
+    reuses the sha-equality kernel: groups ≤ ``pair_cap`` emit all
     pairs, larger groups emit linear star edges (same components,
     bounded output) — see ``candidates.exact_duplicate_pairs``."""
-    keyed = embeddings.select(
-        F.col(id_col).alias("id"),
-        F.xxhash64(F.col(vec_col)).alias("content_sha"),
+    keyed = sigs_cached.filter(F.col("table_id") == 0).select(
+        "id", F.col("vec_sha").alias("content_sha")
     )
     return cand_ops.exact_duplicate_pairs(keyed, pair_cap=pair_cap)
 
@@ -194,8 +197,11 @@ def hyperplane_signatures(
         ).sum(axis=2)
         return pd.Series(list(packed.astype(np.int64)))
 
+    # vec_sha rides the same scan (native xxhash64 over the raw array):
+    # the exact-duplicate rescue path then needs no second corpus pass
     return embeddings.select(
         F.col(id_col).alias("id"),
+        F.xxhash64(F.col(vec_col)).alias("vec_sha"),
         F.posexplode(bucket_arr(F.col(vec_col))).alias("table_id", "bucket"),
     )
 
@@ -225,10 +231,10 @@ def lsh_topk(
     sigs = hyperplane_signatures(
         embeddings, dim, n_bits, n_tables, seed, id_col, vec_col
     )
-    capped, _dropped = _capped_signatures(sigs, bucket_cap)
+    capped, _dropped, sx = _capped_signatures(sigs, bucket_cap)
     a = capped.select("table_id", "bucket", F.col("id").alias("query_id"))
     b = capped.select("table_id", "bucket", F.col("id").alias("neighbor_id"))
-    exact = _exact_vector_pairs(embeddings, id_col, vec_col, bucket_cap)
+    exact = _exact_vector_pairs(sx, bucket_cap)
     # kNN is directed: an exact pair feeds both endpoints' neighbor lists
     exact_directed = exact.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")
@@ -431,10 +437,10 @@ def embedding_cosine_dup_pairs(
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signatures(embeddings, dim, n_bits, n_tables, seed, id_col, vec_col)
-    capped, _dropped = _capped_signatures(sigs, bucket_cap)
+    capped, _dropped, sx = _capped_signatures(sigs, bucket_cap)
     a = capped.select("table_id", "bucket", F.col("id").alias("id_a"))
     b = capped.select("table_id", "bucket", F.col("id").alias("id_b"))
-    exact = _exact_vector_pairs(embeddings, id_col, vec_col, bucket_cap)
+    exact = _exact_vector_pairs(sx, bucket_cap)
     cand = (
         a.join(b, ["table_id", "bucket"])
         .filter(F.col("id_a") < F.col("id_b"))
