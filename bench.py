@@ -122,6 +122,16 @@ def main() -> None:
     all_walls: dict[str, list[float]] = {}
     total = 0.0
     n_docs = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    # One UNTIMED warm-up materialization before the timed canary
+    # walls: the canary runs as the session's first heavy jobs, so
+    # without this its first wall absorbs one-time JVM/codegen/
+    # parquet-footer warm-up that no query wall includes — at low
+    # repeat counts min(canary_walls) could then read high and
+    # mislabel a clean round as a polluted window (ADVICE r4 #4).
+    # Query timing is untouched; canary walls now measure only
+    # machine drift, which is the canary's whole job.
+    materialize(canary(spark, sf_dir))
+    spark.catalog.clearCache()
     canary_walls = []
     for _ in range(repeats):
         t0 = time.time()
@@ -163,6 +173,7 @@ def main() -> None:
                 "protocol": PROTOCOL,
                 "canary_sec": min(canary_walls),
                 "canary_walls": canary_walls,
+                "canary_warmup": True,
                 "all_walls": all_walls,
             }
         )

@@ -58,8 +58,11 @@ def _capped_signatures(
     bucket-size aggregate AND both self-join sides, so without the
     persist the hyperplane matmul UDF would re-evaluate once per plan
     consumer — up to 3× the sketch compute over the full corpus.  The
-    cached relation is (id, table_id, bucket): 24 B/row, the same
-    bytes the text band cache holds; registered with
+    cached relation is (id, vec_sha, table_id, bucket): ~32 B/row —
+    the text band cache's 24 B (id, table_id, bucket) plus the 8-byte
+    vec_sha that the exact-pair rescue reads (computed in the same
+    scan as the sketch precisely so it can ride this cache instead of
+    costing a second corpus pass); registered with
     ``selfclean_spark.caching`` so ``unpersist_all()`` releases it.
     """
     from selfclean_spark import caching

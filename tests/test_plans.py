@@ -163,13 +163,32 @@ def test_release_check_plans_are_map_side(spark):
     # one groupBy(source) + orderBy
     plan = _plan(Q.packing_stats(spark, sf))
     assert plan.count("Exchange") == 2, plan
-    # hash-first two-pass span report: gh count, broadcast of the
-    # flagged set (the ONE BroadcastHashJoin), gram recovery groupBy,
-    # output sort — and never a string-keyed corpus-wide shuffle
-    # beyond the tiny flagged-gram recovery
-    plan = _plan(Q.duplicated_ngram_spans(spark, sf))
-    assert plan.count("BroadcastHashJoin") == 1, plan
+    # hash-first two-pass span report: gh count, flagged-set recovery
+    # join, gram recovery groupBy, output sort — never a string-keyed
+    # corpus-wide shuffle beyond the tiny flagged-gram recovery.  The
+    # recovery join carries no static broadcast hint (the flagged-set
+    # size is data-dependent; ADVICE r4 #2) — execute first so AQE
+    # finalizes, then assert the runtime DID pick the one broadcast
+    # join for this actually-tiny flagged set.
+    df = Q.duplicated_ngram_spans(spark, sf)
+    df.collect()
+    plan = _plan(df)
+    assert "isFinalPlan=true" in plan, plan
+    # AdaptiveSparkPlan.toString prints Final + Initial sections —
+    # judge the runtime-chosen (final) plan only
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") == 1, final
+    assert "SortMergeJoin" not in final, final
     assert "CartesianProduct" not in plan
+    # pass-1 exchange hash-partitions on the 8-byte gh only — the gram
+    # string never rides the corpus-wide shuffle
+    pass1 = [
+        line
+        for line in plan.splitlines()
+        if "Exchange hashpartitioning(gh" in line
+    ]
+    assert pass1, plan
+    assert all("gram" not in line for line in pass1), pass1
 
 
 def test_mixture_weights_single_corpus_scan(spark):
