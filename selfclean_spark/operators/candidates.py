@@ -161,6 +161,51 @@ def candidate_pairs(
     return pairs, dropped
 
 
+def incremental_candidate_pairs(
+    new_bands: DataFrame, all_bands: DataFrame, band_bucket_cap: int
+) -> DataFrame:
+    """New×all LSH candidate join — the incremental-index complement
+    of :func:`candidate_pairs`: candidates always carry ≥1 endpoint
+    from ``new_bands`` (new×old and new×new; old×old pairs are the
+    base index's own business).
+
+    ``all_bands`` must be the ACCUMULATED index (base ∪ new): bucket
+    sizes — and the hot-bucket cap — are evaluated on the accumulated
+    state, the same dropped-bucket semantics the streaming path
+    documents (``streaming.incremental.dedup_batch``, which delegates
+    here).  ``countDistinct`` not ``count``: a new×new pair appears in
+    BOTH orientations of the asymmetric join, a new×old pair in one —
+    the distinct band-key count is orientation-proof either way.
+
+    100-TB shape: the expensive side (``all_bands``) is shuffled once
+    on the 8-byte band key; the new side is typically a micro-batch —
+    AQE broadcasts it when it fits, and the bucket cap bounds the
+    expansion exactly as in the batch path.
+    """
+    keys = ["band_hash"]
+    sizes = all_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    eligible = sizes.filter(
+        (F.col("n") >= 2) & (F.col("n") <= band_bucket_cap)
+    ).select(*keys)
+    new_side = new_bands.join(eligible, keys).select(
+        *keys, F.col("id").alias("id_new")
+    )
+    all_side = all_bands.join(eligible, keys).select(
+        *keys, F.col("id").alias("id_other")
+    )
+    return (
+        new_side.join(all_side, keys)
+        .filter(F.col("id_new") != F.col("id_other"))
+        .select(
+            "band_hash",
+            F.least("id_new", "id_other").alias("id_a"),
+            F.greatest("id_new", "id_other").alias("id_b"),
+        )
+        .groupBy("id_a", "id_b")
+        .agg(F.countDistinct("band_hash").alias("n_bands_hit"))
+    )
+
+
 def exact_duplicate_pairs(id_sha: DataFrame, pair_cap: int = 200) -> DataFrame:
     """Verbatim duplicates via sha256 equality — the degenerate fast
     path (reference: planted exact duplicate must rank first with

@@ -147,36 +147,61 @@ def token_jaccard_pairs(
     )
 
 
-def minhash_lsh_pairs(
+def minhash_signatures(
     df: DataFrame,
     id_col: str,
     text_col: str,
     cfg: PipelineConfig | None = None,
 ) -> DataFrame:
-    """Full sketch path on an arbitrary corpus: shingle → MinHash →
-    LSH bands → candidate join → exact verification.  Returns
-    verified_edges (id_a, id_b, jaccard, hamming, substring, dist)."""
+    """Persisted signature table for :func:`minhash_lsh_pairs` —
+    factored out so callers that dedup INCREMENTALLY (new docs joined
+    against an already-signed corpus, e.g.
+    ``queries.substring_containment_pairs``) can session-cache one
+    corpus signature table and never re-run the sketch UDF for it.
+
+    The sketch mapInPandas is the expensive node and the pair plan
+    reads it three times (band hashing + both enrich sides) — persist
+    so it runs once per doc (the durable pipeline gets this for free
+    from its signature checkpoint; standalone queries need the cache).
+    The persist is registered with ``caching`` so long-lived sessions
+    can release it (``caching.unpersist_all()``) after materializing
+    the consuming plan.  ``keep_shingles``: verification reads the
+    shingle arrays straight off this cached table — no second Python
+    shingle pass, no content join (right trade here: standalone
+    corpora use token mode where the array is about the size of the
+    text)."""
     cfg = cfg or PipelineConfig()
     std = _std(df, id_col, text_col, fanout=True).withColumn(
         "content_sha", F.sha2("content", 256)
     )
-    # the sketch mapInPandas is the expensive node and the plan reads it
-    # three times (band hashing + both enrich sides) — persist so it
-    # runs once per doc (the pipeline gets this for free from its
-    # signature checkpoint; standalone queries need the cache).  The
-    # persist is registered with ``caching`` so long-lived sessions can
-    # release it (caching.unpersist_all()) after materializing the
-    # returned plan — repeated operator calls otherwise accumulate
-    # block-manager entries.
-    # keep_shingles: verification reads the shingle arrays straight off
-    # this cached table — no second Python shingle pass, no content
-    # join (right trade here: standalone corpora use token mode where
-    # the array is about the size of the text)
-    signatures = caching.register_persist(
+    return caching.register_persist(
         sig_ops.compute_signatures(
             std, cfg.signature, keep_shingles=True
         ).persist(StorageLevel.MEMORY_AND_DISK)
     )
+
+
+def minhash_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    cfg: PipelineConfig | None = None,
+    signatures: DataFrame | None = None,
+) -> DataFrame:
+    """Full sketch path on an arbitrary corpus: shingle → MinHash →
+    LSH bands → candidate join → exact verification.  Returns
+    verified_edges (id_a, id_b, jaccard, hamming, substring, dist).
+
+    ``signatures``: optionally pass an already-persisted
+    :func:`minhash_signatures` table for ``df`` (same cfg) — callers
+    holding a session-cached signature table skip the sketch UDF
+    entirely; the default builds (and cache-registers) it here."""
+    cfg = cfg or PipelineConfig()
+    std = _std(df, id_col, text_col, fanout=True).withColumn(
+        "content_sha", F.sha2("content", 256)
+    )
+    if signatures is None:
+        signatures = minhash_signatures(df, id_col, text_col, cfg)
     bands = sig_ops.band_hashes(signatures, cfg.signature)
     pairs, _dropped = cand_ops.candidate_pairs(bands, cfg.band_bucket_cap)
     return verify_ops.verify_candidates(pairs, std, signatures, cfg)

@@ -135,32 +135,13 @@ def dedup_batch(
     )
 
     all_bands = spark.read.parquet(f"{work_dir}/bands")
-    keys = ["band_hash"]
-    sizes = all_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
-    eligible = sizes.filter(
-        (F.col("n") >= 2) & (F.col("n") <= cfg.band_bucket_cap)
-    ).select(*keys)
-    new_side = (
-        spark.read.parquet(f"{work_dir}/bands/batch={batch_id}")
-        .join(eligible, keys)
-        .select(*keys, F.col("id").alias("id_new"))
-    )
-    all_side = all_bands.join(eligible, keys).select(
-        *keys, F.col("id").alias("id_other")
-    )
-    pairs = (
-        new_side.join(all_side, keys)
-        .filter(F.col("id_new") != F.col("id_other"))
-        .select(
-            "band_hash",
-            F.least("id_new", "id_other").alias("id_a"),
-            F.greatest("id_new", "id_other").alias("id_b"),
-        )
-        .groupBy("id_a", "id_b")
-        # countDistinct, not count: a within-batch pair appears in BOTH
-        # orientations of the new×all join, a cross-batch pair in one
-        # (band_hash ≙ bucket identity — the band index is folded in)
-        .agg(F.countDistinct("band_hash").alias("n_bands_hit"))
+    # shared incremental kernel (also drives the batch-query reuse path
+    # in queries.substring_containment_pairs): bucket sizes + cap on
+    # the accumulated index, candidates always have ≥1 new endpoint
+    pairs = cand_ops.incremental_candidate_pairs(
+        spark.read.parquet(f"{work_dir}/bands/batch={batch_id}"),
+        all_bands,
+        cfg.band_bucket_cap,
     )
     all_sigs = spark.read.parquet(f"{work_dir}/signatures").drop("batch")
     # sha-equality exact-dup injection (≥1 new endpoint): identical docs

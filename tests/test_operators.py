@@ -524,3 +524,92 @@ def test_holdout_split_counts_structural(spark):
     assert by_split["train"] > by_split["val"] + by_split["test"]
     again = Q.holdout_split_counts(spark, "/root/testdata/sf0.001").collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, rows))
+
+
+def test_substring_containment_incremental_equals_batch(spark):
+    """The incremental edge derivation (session edge cache + 15-doc
+    sketch micro-batch LSH-joined against the corpus band index) must
+    emit exactly the pair set a from-scratch full-corpus LSH run over
+    the planted union emits — the batch twin of the streaming parity
+    test, on the real query."""
+    from selfclean_spark import caching
+    from selfclean_spark import queries as Q
+    from selfclean_spark.operators import dedup as D
+    from selfclean_spark.operators import verify as verify_ops
+
+    sf = "/root/testdata/sf0.001"
+    caching.clear(blocking=True)
+    got = sorted(
+        (r.inner_id, r.outer_id)
+        for r in Q.substring_containment_pairs(spark, sf).collect()
+    )
+
+    # from-scratch batch twin (the pre-r5 implementation, inlined)
+    d = spark.read.parquet(f"{sf}/documents.parquet").select("doc_id", "text")
+    wrapped = d.filter(F.col("doc_id") < Q.WRAP_N).select(
+        (F.col("doc_id") + Q.WRAP_SHIFT).alias("doc_id"),
+        F.concat("text", F.lit(Q.WRAP_SUFFIX)).alias("text"),
+    )
+    docs2 = d.unionByName(wrapped)
+    edges = D.minhash_lsh_pairs(docs2, "doc_id", "text", Q.DOCS_CFG).select(
+        "id_a", "id_b"
+    )
+    content = docs2.select(
+        F.col("doc_id").alias("id"), F.col("text").alias("content")
+    )
+    confirmed = verify_ops.substring_confirm(edges, content).filter(
+        F.col("substring")
+    )
+    lens = docs2.select("doc_id", F.length("text").alias("n"))
+    want = set()
+    ln = {r.doc_id: r.n for r in lens.collect()}
+    for r in confirmed.select("id_a", "id_b").collect():
+        a, b = r.id_a, r.id_b
+        if ln[a] < ln[b]:
+            want.add((a, b))
+        elif ln[b] < ln[a]:
+            want.add((b, a))
+        else:
+            want.add((min(a, b), max(a, b)))
+    assert got == sorted(want)
+    caching.clear(blocking=True)
+
+
+def test_substring_containment_warm_cache_signs_only_wrappers(spark, monkeypatch):
+    """VERDICT r4 #2 'done' criterion: with the session edge cache
+    warm, building the query never runs the full-corpus signature UDF
+    — compute_signatures is invoked exactly once, over the 15 wrapper
+    docs."""
+    from selfclean_spark import caching
+    from selfclean_spark import queries as Q
+    from selfclean_spark.operators import signatures as sig_ops
+
+    sf = "/root/testdata/sf0.001"
+    caching.clear(blocking=True)
+    # warm: materialize the session edge cache (and with it the corpus
+    # signature cache) the way any other edge-derived query would
+    Q._docs_edges(spark, sf).count()
+
+    calls = []
+    real = sig_ops.compute_signatures
+
+    def spy(ingested, cfg, keep_shingles=False):
+        calls.append(ingested)
+        return real(ingested, cfg, keep_shingles=keep_shingles)
+
+    monkeypatch.setattr(
+        "selfclean_spark.queries.sig_ops.compute_signatures", spy
+    )
+    rows = Q.substring_containment_pairs(spark, sf).collect()
+    assert len(rows) > 0
+    assert len(calls) == 1, "warm-cache query must sign ONLY the wrappers"
+    assert calls[0].count() == Q.WRAP_N
+    # and the plan reads the cached corpus tables, not fresh scans
+    plan = (
+        Q.substring_containment_pairs(spark, sf)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "InMemoryTableScan" in plan
+    caching.clear(blocking=True)
