@@ -77,6 +77,21 @@ def get_or_build(
     return df
 
 
+def peek(key: str, scope: str, spark: SparkSession) -> DataFrame | None:
+    """The memoized DataFrame for (key, scope) if THIS session already
+    built it, else None — never builds.  Lets adaptive queries pick a
+    plan by cache state: e.g. ``substring_containment_pairs`` derives
+    edges incrementally from the warm session caches but falls back to
+    the (cheaper-when-cold) one-pass batch pipeline when the session
+    has built nothing to reuse."""
+    cached = _RESULTS.get((key, scope))
+    if cached is not None:
+        owner, df = cached
+        if owner is spark:
+            return df
+    return None
+
+
 def clear(blocking: bool = False) -> None:
     """Drop the memo table and unpersist everything registered."""
     for _, df in _RESULTS.values():

@@ -162,7 +162,10 @@ def candidate_pairs(
 
 
 def incremental_candidate_pairs(
-    new_bands: DataFrame, all_bands: DataFrame, band_bucket_cap: int
+    new_bands: DataFrame,
+    all_bands: DataFrame,
+    band_bucket_cap: int,
+    touched_keys: list[int] | None = None,
 ) -> DataFrame:
     """New×all LSH candidate join — the incremental-index complement
     of :func:`candidate_pairs`: candidates always carry ≥1 endpoint
@@ -177,20 +180,40 @@ def incremental_candidate_pairs(
     BOTH orientations of the asymmetric join, a new×old pair in one —
     the distinct band-key count is orientation-proof either way.
 
-    100-TB shape: the expensive side (``all_bands``) is shuffled once
-    on the 8-byte band key; the new side is typically a micro-batch —
-    AQE broadcasts it when it fits, and the bucket cap bounds the
-    expansion exactly as in the batch path.
+    100-TB shape: a bucket with no NEW member can never emit a
+    ≥1-new-endpoint candidate, so the accumulated index is pruned to
+    the new batch's band keys FIRST (a semi-join AQE broadcasts when
+    the batch is micro) — the full index is never shuffled on behalf
+    of a small batch; bucket sizes (and the hot-bucket cap, which must
+    see ACCUMULATED size) are then computed over the pruned slice
+    only, which contains every member of every touched bucket and is
+    therefore exactly the accumulated size for those buckets.
+
+    ``touched_keys``: callers whose new side is a BOUNDED micro-batch
+    (e.g. the 15 planted wrapper docs of
+    ``queries.substring_containment_pairs``) may pre-collect the new
+    band keys and pass them here — the prune then becomes a map-side
+    literal ``isin`` filter (the dynamic-partition-pruning shape, two
+    fewer stage boundaries than the semi-join).  Unbounded callers
+    (streaming batches) pass None and get the semi-join.
     """
     keys = ["band_hash"]
-    sizes = all_bands.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
+    if touched_keys is not None:
+        all_touched = all_bands.filter(F.col("band_hash").isin(touched_keys))
+    else:
+        touched = new_bands.select(*keys).distinct()
+        # no broadcast hint: micro-batches broadcast via AQE runtime
+        # stats; a large streaming batch falls back to a shuffled
+        # semi-join
+        all_touched = all_bands.join(touched, keys, "leftsemi")
+    sizes = all_touched.groupBy(*keys).agg(F.count(F.lit(1)).alias("n"))
     eligible = sizes.filter(
         (F.col("n") >= 2) & (F.col("n") <= band_bucket_cap)
     ).select(*keys)
     new_side = new_bands.join(eligible, keys).select(
         *keys, F.col("id").alias("id_new")
     )
-    all_side = all_bands.join(eligible, keys).select(
+    all_side = all_touched.join(eligible, keys).select(
         *keys, F.col("id").alias("id_other")
     )
     return (

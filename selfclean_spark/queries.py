@@ -985,20 +985,24 @@ def substring_containment_pairs(spark, sf_dir):
     cross-joined).  Output is (inner_id, outer_id): shorter doc inside
     longer, ties broken by id.
 
-    Incremental edge derivation (VERDICT r4 #2): the corpus side reads
-    the session edge cache (:func:`_docs_edges`) and the 15 wrapper
-    docs are signed ALONE, then LSH-joined against the accumulated
-    band index via the same kernel the streaming path runs
-    (``candidates.incremental_candidate_pairs`` — bucket cap on the
-    accumulated index, ≥1 new endpoint per candidate) and exact-
-    verified.  Net: the sketch UDF touches 15 rows, not the corpus —
-    with a warm session cache this query costs one micro-batch, and
-    cold it shares the one corpus sketch pass with every other
-    edge-derived query instead of paying its own.  The union is
-    disjoint by construction (wrapper ids ≥ ``WRAP_SHIFT`` appear only
-    on the incremental side).  This is the per-call-recompute issue
-    the reference has at selfclean_cleaner.py:182-246 (predict re-runs
-    rankings), solved by the engine's session cache.
+    Incremental edge derivation (VERDICT r4 #2), ADAPTIVE on session
+    cache state: when the session has already built the corpus edge +
+    signature caches (``caching.peek``), the corpus side reads the
+    edge cache and the 15 wrapper docs are signed ALONE, then
+    LSH-joined against the accumulated band index via the same kernel
+    the streaming path runs (``candidates.incremental_candidate_pairs``
+    — index pruned to the wrapper-touched buckets, bucket cap on
+    accumulated sizes, ≥1 new endpoint per candidate) and exact-
+    verified: the sketch UDF touches 15 rows, not the corpus.  When
+    the session is COLD, the one-pass batch pipeline over corpus+15 is
+    strictly cheaper than build-cache-then-increment (fewer shuffles,
+    one verify job), so the query runs that instead — both paths emit
+    the identical pair set (parity-tested), the choice is purely
+    physical.  The union is disjoint by construction (wrapper ids ≥
+    ``WRAP_SHIFT`` appear only on the incremental side).  This is the
+    per-call-recompute issue the reference has at
+    selfclean_cleaner.py:182-246 (predict re-runs rankings), solved by
+    the engine's session cache.
 
     Hard DuckDB oracle: the same planted table is derived in SQL and
     the containment predicate is DuckDB's ``contains()`` over the same
@@ -1015,33 +1019,52 @@ def substring_containment_pairs(spark, sf_dir):
     )
     docs2 = d.unionByName(wrapped)
 
-    edges_nat = _docs_edges(spark, sf_dir).select("id_a", "id_b")
-    sigs_nat = _docs_signatures(spark, sf_dir)
-    std_w = wrapped.select(
-        F.col("doc_id").alias("id"), F.col("text").alias("content")
-    ).withColumn("content_sha", F.sha2("content", 256))
-    # 15-row sketch micro-batch; persisted (tiny) because the band
-    # index, both verify enrich sides, and the signature union all
-    # read it — one UDF evaluation total
-    sigs_w = caching.register_persist(
-        sig_ops.compute_signatures(
-            std_w, DOCS_CFG.signature, keep_shingles=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
-    bands_w = sig_ops.band_hashes(sigs_w, DOCS_CFG.signature)
-    bands_all = sig_ops.band_hashes(sigs_nat, DOCS_CFG.signature).unionByName(
-        bands_w
-    )
-    pairs_w = cand_ops.incremental_candidate_pairs(
-        bands_w, bands_all, DOCS_CFG.band_bucket_cap
-    )
-    std_all = docs2.select(
-        F.col("doc_id").alias("id"), F.col("text").alias("content")
-    ).withColumn("content_sha", F.sha2("content", 256))
-    edges_w = verify_ops.verify_candidates(
-        pairs_w, std_all, sigs_nat.unionByName(sigs_w), DOCS_CFG
-    ).select("id_a", "id_b")
-    edges = edges_nat.unionByName(edges_w)
+    warm_edges = caching.peek("docs_edges", sf_dir, spark)
+    warm_sigs = caching.peek("docs_signatures", sf_dir, spark)
+    if warm_edges is not None and warm_sigs is not None:
+        edges_nat = warm_edges.select("id_a", "id_b")
+        sigs_nat = warm_sigs
+        std_w = wrapped.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("content")
+        ).withColumn("content_sha", F.sha2("content", 256))
+        # 15-row sketch micro-batch; persisted (tiny) because the band
+        # index, both verify enrich sides, and the signature union all
+        # read it — one UDF evaluation total
+        sigs_w = caching.register_persist(
+            sig_ops.compute_signatures(
+                std_w, DOCS_CFG.signature, keep_shingles=True
+            ).persist(StorageLevel.MEMORY_AND_DISK)
+        )
+        bands_w = sig_ops.band_hashes(sigs_w, DOCS_CFG.signature)
+        bands_all = sig_ops.band_hashes(
+            sigs_nat, DOCS_CFG.signature
+        ).unionByName(bands_w)
+        # bounded driver collect (≤ WRAP_N × lsh_bands = 375 keys, one
+        # micro-job over the 15-row cached signature table): lets the
+        # kernel prune the corpus band index with a map-side literal
+        # filter instead of a semi-join — the dynamic-partition-pruning
+        # shape for a micro-batch against a huge index
+        touched_keys = [
+            r.band_hash
+            for r in bands_w.select("band_hash").distinct().collect()
+        ]
+        pairs_w = cand_ops.incremental_candidate_pairs(
+            bands_w,
+            bands_all,
+            DOCS_CFG.band_bucket_cap,
+            touched_keys=touched_keys,
+        )
+        std_all = docs2.select(
+            F.col("doc_id").alias("id"), F.col("text").alias("content")
+        ).withColumn("content_sha", F.sha2("content", 256))
+        edges_w = verify_ops.verify_candidates(
+            pairs_w, std_all, sigs_nat.unionByName(sigs_w), DOCS_CFG
+        ).select("id_a", "id_b")
+        edges = edges_nat.unionByName(edges_w)
+    else:
+        edges = D.minhash_lsh_pairs(docs2, "doc_id", "text", DOCS_CFG).select(
+            "id_a", "id_b"
+        )
 
     content = docs2.select(
         F.col("doc_id").alias("id"), F.col("text").alias("content")

@@ -531,7 +531,9 @@ def test_substring_containment_incremental_equals_batch(spark):
     sketch micro-batch LSH-joined against the corpus band index) must
     emit exactly the pair set a from-scratch full-corpus LSH run over
     the planted union emits — the batch twin of the streaming parity
-    test, on the real query."""
+    test, on the real query.  The caches are warmed FIRST: the query
+    is adaptive (cold sessions take the batch path), so parity is only
+    meaningful with the incremental path engaged."""
     from selfclean_spark import caching
     from selfclean_spark import queries as Q
     from selfclean_spark.operators import dedup as D
@@ -539,6 +541,8 @@ def test_substring_containment_incremental_equals_batch(spark):
 
     sf = "/root/testdata/sf0.001"
     caching.clear(blocking=True)
+    Q._docs_edges(spark, sf).count()
+    assert caching.peek("docs_edges", sf, spark) is not None
     got = sorted(
         (r.inner_id, r.outer_id)
         for r in Q.substring_containment_pairs(spark, sf).collect()
