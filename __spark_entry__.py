@@ -90,6 +90,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_dup_pairs": Q.embedding_dup_pairs,
         "knn_edges_docs": Q.knn_edges_docs,
         "lad_offtopic": Q.lad_offtopic,
+        "lad_offtopic_planted": Q.lad_offtopic_planted,
         "quantile_isolation_docs": Q.quantile_isolation_docs,
         "multimodal_feature_stats": Q.multimodal_feature_stats,
     }

@@ -380,6 +380,29 @@ SELECT doc_id, n_emails, n_ips, scrubbed_text
 FROM scrubbed WHERE n_emails + n_ips > 0
 """
 
+# lad_offtopic at the planted-far-outlier configuration is closed-form
+# (see queries.lad_offtopic_planted): clone↔clone MinHash distance is
+# exactly 0 (identical signatures), outlier↔clone exactly 1 (disjoint
+# token shingle sets), so the single-linkage tree and the LAD sweep's
+# cumulative areas are analytic — rank 1 = the outlier at 1/n area,
+# every clone leaf at (n-1)/n (the sweep's interval recursion spans the
+# right subtree to start + width*(count_right/n), leaving the rightmost
+# 1/n strip unpainted — reference lad_scoring.py:291-331 semantics,
+# reproduced by functions/linkage.py).
+ORACLES["lad_offtopic_planted"] = """
+WITH c AS (
+  SELECT count(*)::BIGINT AS n FROM documents WHERE doc_id <= 200
+)
+SELECT 1::BIGINT AS rank, 0::BIGINT AS top_id, TRUE AS is_outlier,
+       round(1.0::DOUBLE / n, 6) AS score
+FROM c
+UNION ALL
+SELECT (row_number() OVER (ORDER BY doc_id) + 1)::BIGINT AS rank,
+       (-1)::BIGINT AS top_id, FALSE AS is_outlier,
+       round((c.n - 1)::DOUBLE / c.n, 6) AS score
+FROM documents, c WHERE doc_id <= 200 AND doc_id > 0
+"""
+
 # lsh_topk on the planted-copy corpus is structurally exact (see
 # queries.lsh_topk_planted): the twin is guaranteed a candidate and its
 # cosine dominates, so approximate top-1 == brute-force top-1 for every

@@ -862,6 +862,56 @@ def lad_offtopic(spark, sf_dir):
     )
 
 
+def lad_offtopic_planted(spark, sf_dir):
+    """LAD off-topic ranking at the reference's planted-far-outlier
+    configuration — the hard-oracle row for the dendrogram sweep (the
+    reference's own gate is tests/unittests/cleaner/off_topic_samples/
+    test_lad_scoring.py:9-19: one far outlier among identical rows ⇒
+    ``indices[0]`` is the outlier).
+
+    200 byte-identical boilerplate docs plus ONE doc over a disjoint
+    token vocabulary make every pairwise MinHash distance analytic:
+    clone↔clone shingle sets are identical (dist exactly 0.0) and
+    outlier↔clone sets are disjoint (dist exactly 1.0 absent a 64-bit
+    min-hash collision).  Single linkage merges all clones at height 0
+    and the outlier at height 1, so the LAD sweep is closed-form: the
+    outlier leaf (smaller subtree — visited first) emits rank 1 with
+    cumulative area 1/201, and every clone leaf accumulates 200/201
+    (the sweep's interval recursion — lad_scoring.py:291-331 — spans
+    the right subtree to start + width·(count_right/n), leaving the
+    rightmost 1/n strip unpainted).  The DuckDB twin recomputes that closed
+    form from the same corpus slice, asserting engine-independently
+    both the top-1 identity (the reference's test) and the area
+    values."""
+    n_clones = 200
+    boiler = "alpha bravo charlie delta echo foxtrot golf hotel india juliett"
+    outlier = "kilo lima mike november oscar papa quebec romeo sierra tango"
+    d = _t(spark, sf_dir, "documents").filter(F.col("doc_id") <= n_clones)
+    std = d.select(
+        F.col("doc_id").alias("id"),
+        F.when(F.col("doc_id") == 0, F.lit(outlier))
+        .otherwise(F.lit(boiler))
+        .alias("content"),
+    ).withColumn("content_sha", F.sha2("content", 256))
+    sigs = sig_ops.compute_signatures(std, DOCS_CFG.signature)
+    meta = std.select(
+        "id",
+        F.lit("planted").alias("repo"),
+        F.col("id").cast("string").alias("path"),
+        F.lit("en").alias("lang"),
+    )
+    ranked = rank_ops.lad_offtopic_ranking(sigs, meta, n_sample=500)
+    return ranked.select(
+        F.col("rank").cast("long").alias("rank"),
+        F.when(F.col("rank") == 1, F.col("id"))
+        .otherwise(F.lit(-1))
+        .cast("long")
+        .alias("top_id"),
+        (F.col("id") == 0).alias("is_outlier"),
+        F.round("score", 6).alias("score"),
+    )
+
+
 def quantile_isolation_docs(spark, sf_dir):
     """Per-row distance-quantile off-topic scorer (A4 analog)."""
     d = _t(spark, sf_dir, "documents")

@@ -84,3 +84,18 @@ def test_lad_covers_all_leaves():
     # cumulative areas are non-decreasing in emission order
     vals = [s for s, _ in scoring]
     assert all(b >= a - 1e-12 for a, b in zip(vals, vals[1:]))
+
+
+def test_lad_clone_corpus_closed_form():
+    """The planted configuration behind queries.lad_offtopic_planted:
+    n-1 points at mutual distance 0 plus one at distance 1 from all.
+    The LAD areas are closed-form: outlier 1/n at rank 1, every clone
+    (n-1)/n (the sweep's interval recursion leaves the rightmost 1/n
+    strip unpainted — lad_scoring.py:291-331 semantics)."""
+    n = 21
+    d = np.zeros((n, n))
+    d[0, 1:] = d[1:, 0] = 1.0
+    scores, idx = lad_ranking(d)
+    assert idx[0] == 0
+    np.testing.assert_allclose(scores[0], 1.0 / n, rtol=1e-12)
+    np.testing.assert_allclose(scores[1:], (n - 1.0) / n, rtol=1e-12)
