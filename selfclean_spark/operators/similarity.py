@@ -219,6 +219,7 @@ def lsh_topk(
     vec_col: str = "embedding",
     dim: int | None = None,
     bucket_cap: int = DEFAULT_BUCKET_CAP,
+    exact_from_scan: bool = False,
 ) -> DataFrame:
     """Approximate all-pairs top-k: vectors meet iff they share a
     sign-sketch bucket in any table; exact cosine is computed only for
@@ -228,7 +229,24 @@ def lsh_topk(
     (count-first — no m² expansion on degenerate embedding families);
     byte-identical vectors stay pairable through the exact fast path
     (cosine exactly 1.0, star-shaped beyond the cap), so every member
-    of an over-cap identical family still reports its exact twin(s)."""
+    of an over-cap identical family still reports its exact twin(s).
+
+    ``exact_from_scan`` picks where the exact-duplicate branch reads
+    its (id, vec_sha) keys — output is byte-identical either way, only
+    the physical plan differs:
+
+    - ``False`` (scale default): ride the persisted sketch table, so
+      the corpus is scanned ONCE total (the hyperplane UDF scan also
+      carries the native xxhash64) — at 10⁹ vectors a second full
+      corpus pass dwarfs everything else.
+    - ``True`` (small-corpus): read a fresh native-only scan of the
+      source (xxhash64, no Python UDF).  Below ~10⁵ rows the second
+      parquet scan is microseconds, while the cache path serializes
+      the exact branch behind the sketch-UDF persist barrier — ~8
+      small-stage scheduling costs the A/B in BENCH/BASELINE.md
+      measures at ~1.5 s on the 2k-row bench corpus.  Callers that
+      know the corpus size (e.g. ``queries.lsh_topk_ann`` via its
+      memoized parquet count) flip this adaptively."""
     if dim is None:
         dim = len(embeddings.select(vec_col).first()[0])
     sigs = hyperplane_signatures(
@@ -237,7 +255,14 @@ def lsh_topk(
     capped, _dropped, sx = _capped_signatures(sigs, bucket_cap)
     a = capped.select("table_id", "bucket", F.col("id").alias("query_id"))
     b = capped.select("table_id", "bucket", F.col("id").alias("neighbor_id"))
-    exact = _exact_vector_pairs(sx, bucket_cap)
+    if exact_from_scan:
+        keyed = embeddings.select(
+            F.col(id_col).alias("id"),
+            F.xxhash64(F.col(vec_col)).alias("content_sha"),
+        )
+        exact = cand_ops.exact_duplicate_pairs(keyed, pair_cap=bucket_cap)
+    else:
+        exact = _exact_vector_pairs(sx, bucket_cap)
     # kNN is directed: an exact pair feeds both endpoints' neighbor lists
     exact_directed = exact.select(
         F.col("id_a").alias("query_id"), F.col("id_b").alias("neighbor_id")

@@ -323,6 +323,24 @@ def test_lsh_topk_capped_still_reports_exact_twins(hot_family_vecs):
     assert top1[2000].cosine == pytest.approx(1.0)
 
 
+def test_lsh_topk_exact_from_scan_identical(hot_family_vecs):
+    """The adaptive small-corpus exact branch (a second native scan of
+    the source instead of the persisted sketch table) must be a pure
+    physical-plan change: outputs byte-identical to the cache path,
+    including the capped hot family's star edges."""
+    kw = dict(k=2, n_bits=4, n_tables=4, dim=8, bucket_cap=50)
+    cache_path = sorted(
+        map(tuple, S.lsh_topk(hot_family_vecs, **kw).collect())
+    )
+    scan_path = sorted(
+        map(
+            tuple,
+            S.lsh_topk(hot_family_vecs, exact_from_scan=True, **kw).collect(),
+        )
+    )
+    assert cache_path == scan_path
+
+
 # -- text analysis ------------------------------------------------------------
 
 def test_text_functions(spark):
