@@ -91,6 +91,12 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_edges_docs": Q.knn_edges_docs,
         "lad_offtopic": Q.lad_offtopic,
         "lad_offtopic_planted": Q.lad_offtopic_planted,
+        # data-selection release checks (oracle-checked)
+        "ccnet_perplexity_flags": Q.ccnet_perplexity_flags,
+        "dsir_importance_weights": Q.dsir_importance_weights,
+        # temporal joins (oracle-checked)
+        "events_asof_join": Q.events_asof_join,
+        "events_range_join": Q.events_range_join,
         "quantile_isolation_docs": Q.quantile_isolation_docs,
         "multimodal_feature_stats": Q.multimodal_feature_stats,
     }

@@ -46,6 +46,9 @@ HEADLINE = [
     "packing_stats",
     "duplicated_ngram_spans",
     "holdout_split_counts",
+    # data-selection release checks (r5)
+    "ccnet_perplexity_flags",
+    "dsir_importance_weights",
     # text analysis
     "doc_stats",
     "quality_by_source",

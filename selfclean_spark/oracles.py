@@ -1135,3 +1135,106 @@ FROM ranked r LEFT JOIN hits h ON r.id = h.id
 
 
 ORACLES["semdedup_keep"] = _semdedup_sql()
+
+# CCNet-style unigram-LM perplexity filter (queries.ccnet_perplexity_flags):
+# per-token log-probs quantized to int64 at 1e-6 make every aggregate
+# exact; the doc score is the same two-division sequence in both engines.
+ORACLES["ccnet_perplexity_flags"] = """
+WITH toks AS (
+  SELECT doc_id, lang,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), toks_f AS (SELECT * FROM toks WHERE tok <> ''),
+counts AS (SELECT lang, tok, count(*)::BIGINT AS c FROM toks_f GROUP BY 1, 2),
+totals AS (SELECT lang, sum(c)::BIGINT AS t FROM counts GROUP BY 1),
+lp AS (
+  SELECT c.lang, tok,
+         floor(ln(c.c::DOUBLE / tt.t::DOUBLE) * 1000000)::BIGINT AS lp_q
+  FROM counts c JOIN totals tt USING (lang)
+), per_doc AS (
+  SELECT doc_id, sum(lp_q)::BIGINT AS s, count(*)::BIGINT AS n_tokens
+  FROM toks_f JOIN lp USING (lang, tok) GROUP BY 1
+)
+SELECT doc_id, n_tokens,
+       round(s::DOUBLE / n_tokens::DOUBLE / 1000000, 6) AS mean_logprob,
+       (s::DOUBLE / n_tokens::DOUBLE / 1000000 < -3.41) AS tail_flag
+FROM per_doc ORDER BY doc_id
+"""
+
+# DSIR hashed-ngram importance weights (queries.dsir_importance_weights):
+# the md5-hex bucket hash is an identical builtin in both engines; the
+# twin computes raw and target bucket counts in two scans where Spark
+# fuses them into one conditional aggregation — values identical.
+ORACLES["dsir_importance_weights"] = """
+WITH toks AS (
+  SELECT doc_id, lang, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT doc_id, lang, unnest(
+    list_concat(w, [w[i] || ' ' || w[i+1] for i in generate_series(1, len(w)-1)])
+  ) AS gram FROM toks
+), feats AS (
+  SELECT doc_id, lang,
+         (('0x' || substr(md5(gram), 1, 8))::UBIGINT % 4096)::BIGINT AS b
+  FROM grams WHERE gram <> ''
+), raw_c AS (SELECT b, count(*)::BIGINT AS cr FROM feats GROUP BY 1),
+tgt_c AS (SELECT b, count(*)::BIGINT AS ct FROM feats
+          WHERE lang = 'en' GROUP BY 1),
+tot AS (
+  SELECT (SELECT sum(cr) FROM raw_c)::BIGINT AS tr,
+         (SELECT coalesce(sum(ct), 0) FROM tgt_c)::BIGINT AS tt
+), lr AS (
+  SELECT r.b,
+         (floor(ln((coalesce(ct, 0) + 1)::DOUBLE / (tt + 4096)::DOUBLE) * 1000000)
+        - floor(ln((cr + 1)::DOUBLE / (tr + 4096)::DOUBLE) * 1000000))::BIGINT AS lr_q
+  FROM raw_c r LEFT JOIN tgt_c USING (b), tot
+), per_doc AS (
+  SELECT doc_id, sum(lr_q)::BIGINT AS s, count(*)::BIGINT AS n_feats
+  FROM feats JOIN lr USING (b) GROUP BY 1
+)
+SELECT doc_id, n_feats,
+       round(s::DOUBLE / 1000000, 6) AS log_weight,
+       (s::DOUBLE / 1000000 >= -7.0) AS selected
+FROM per_doc ORDER BY doc_id
+"""
+
+# AS-OF join (queries.events_asof_join): DuckDB recomputes the
+# point-in-time lookup with a correlated most-recent-prior subquery —
+# deterministic tie-break (t DESC, event_id DESC) matches the Spark
+# window order (t ASC, tag, event_id ASC) taking the LAST prior row.
+ORACLES["events_asof_join"] = """
+WITH l AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t
+  FROM events WHERE event_type = 'click'
+), r AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t, value
+  FROM events WHERE event_type = 'purchase'
+), m AS (
+  SELECT l.event_id, l.user_id, l.t AS click_t,
+         (SELECT r.event_id FROM r
+           WHERE r.user_id = l.user_id AND r.t < l.t
+           ORDER BY r.t DESC, r.event_id DESC LIMIT 1) AS pid
+  FROM l
+)
+SELECT m.event_id, m.user_id, m.click_t,
+       coalesce(m.pid, -1)::BIGINT AS prior_purchase_id,
+       coalesce(m.click_t - r.t, -1)::BIGINT AS lag_secs,
+       round(coalesce(r.value, 0.0), 6) AS prior_value
+FROM m LEFT JOIN r ON r.event_id = m.pid
+ORDER BY m.event_id
+"""
+
+# Bounded range self-join (queries.events_range_join): the twin runs
+# the plain inequality-range predicate (DuckDB IEJoin); the engine's
+# bucketized equi-join must reproduce it exactly.
+ORACLES["events_range_join"] = """
+WITH e AS (
+  SELECT event_id, user_id, floor(epoch(ts))::BIGINT AS t FROM events
+)
+SELECT a.user_id, a.event_id AS id_a, b.event_id AS id_b,
+       (b.t - a.t)::BIGINT AS dt
+FROM e a JOIN e b
+  ON a.user_id = b.user_id AND a.event_id < b.event_id
+ AND abs(b.t - a.t) <= 3600
+ORDER BY id_a, id_b
+"""

@@ -1492,6 +1492,229 @@ def pii_scrub(spark, sf_dir):
     )
 
 
+# CCNet-style perplexity filter (Wenzek et al. 2020, "CCNet: Extracting
+# high quality monolingual datasets from web crawl data"): score every
+# document by its per-token log-probability under a language-specific
+# LM and flag the low-likelihood tail.  CCNet uses KenLM 5-gram models;
+# the engine-portable analog here is a self-trained per-language
+# unigram LM (no external model artifacts in this environment).
+# Quantization contract (same device as source_mixture_weights'
+# quantized sqrt): per-token log-probs are floored to integers at 1e-6
+# resolution, so every downstream aggregate is exact int64 arithmetic
+# and the doc score is ONE division sequence both engines execute
+# identically — the flag compares engine-identical doubles.
+CCNET_Q = 1_000_000
+CCNET_TAIL_CUT = -3.41  # empirical tail knee of the testdata corpus
+
+
+def ccnet_perplexity_flags(spark, sf_dir):
+    """Per-document unigram-LM log-probability + tail flag, per CCNet.
+
+    100-TB shape: two shuffles total — (lang, tok) counts with map-side
+    partial aggregation (hot tokens collapse per partition before the
+    exchange), then the per-doc sum.  The LM join keys on (lang, tok)
+    against a counts table that is vocabulary-sized (≪ corpus); AQE
+    picks the strategy (broadcast at small vocab, shuffle-hash at web
+    vocab).  Per-language totals are 1 row per language, broadcast.
+    No Python in the plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        "lang",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
+    ).filter(F.col("tok") != "")
+    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    totals = counts.groupBy("lang").agg(F.sum("c").alias("t"))
+    lp = counts.join(F.broadcast(totals), "lang").select(
+        "lang",
+        "tok",
+        F.floor(
+            F.log(F.col("c").cast("double") / F.col("t").cast("double"))
+            * CCNET_Q
+        )
+        .cast("long")
+        .alias("lp_q"),
+    )
+    per_doc = (
+        toks.join(lp, ["lang", "tok"])
+        .groupBy("doc_id")
+        .agg(
+            F.sum("lp_q").alias("s"),
+            F.count(F.lit(1)).alias("n_tokens"),
+        )
+    )
+    mean_lp = (
+        F.col("s").cast("double") / F.col("n_tokens").cast("double") / CCNET_Q
+    )
+    return per_doc.select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens"),
+        F.round(mean_lp, 6).alias("mean_logprob"),
+        (mean_lp < CCNET_TAIL_CUT).alias("tail_flag"),
+    ).orderBy("doc_id")
+
+
+# DSIR-style importance weights (Xie et al. 2023, "Data Selection for
+# Language Models via Importance Resampling"): hashed unigram+bigram
+# features, per-doc log importance weight = Σ log(p_target(b)/p_raw(b))
+# over feature occurrences, Laplace-smoothed.  Target distribution =
+# the corpus' 'en' slice (a stand-in for the quality domain a real
+# pipeline targets).  The bucket hash must agree across engines, so it
+# is md5-based (identical builtin both sides): first 8 hex chars → int
+# → mod DSIR_BUCKETS.  Per-bucket log-ratios are quantized to int64 at
+# 1e-6 (each log floored separately, then subtracted in exact integer
+# arithmetic) — the same engine-exactness contract as ccnet above.
+DSIR_BUCKETS = 4096
+DSIR_Q = 1_000_000
+DSIR_TARGET_LANG = "en"
+DSIR_SELECT_CUT = -7.0
+
+
+def dsir_importance_weights(spark, sf_dir):
+    """Per-document DSIR log importance weight + selection flag.
+
+    100-TB shape: the exploded gram stream is NEVER persisted or
+    shuffled wide — it feeds (a) one 4096-key bucket aggregation where
+    map-side combine collapses everything to ≤4096 rows per partition
+    before the exchange (raw and target counts fused into ONE pass via
+    conditional aggregation — the DuckDB twin scans twice instead,
+    same values), and (b) the per-doc sum after a broadcast join
+    against the bucket table, whose size is structurally capped at
+    DSIR_BUCKETS rows (the broadcast hint is safe here, unlike
+    data-dependent flagged sets — ADVICE r4).  Recomputing the gram
+    explode for (b) instead of caching it is the deliberate scale
+    trade: at 10⁹ docs the exploded stream is ~20× the corpus."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    bigrams = F.zip_with(
+        F.slice(w, 1, F.greatest(F.size(w) - 1, F.lit(0))),
+        F.slice(w, 2, F.greatest(F.size(w) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    feats = (
+        d.select(
+            "doc_id",
+            "lang",
+            F.explode(F.concat(w, bigrams)).alias("gram"),
+        )
+        .filter(F.col("gram") != "")
+        .select(
+            "doc_id",
+            "lang",
+            (
+                F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+                % DSIR_BUCKETS
+            ).alias("b"),
+        )
+    )
+    bucket_counts = feats.groupBy("b").agg(
+        F.count(F.lit(1)).alias("cr"),
+        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
+    )
+    tot = bucket_counts.agg(
+        F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
+    )
+    lr = bucket_counts.crossJoin(F.broadcast(tot)).select(
+        "b",
+        (
+            F.floor(
+                F.log(
+                    (F.col("ct") + 1).cast("double")
+                    / (F.col("tt") + DSIR_BUCKETS).cast("double")
+                )
+                * DSIR_Q
+            ).cast("long")
+            - F.floor(
+                F.log(
+                    (F.col("cr") + 1).cast("double")
+                    / (F.col("tr") + DSIR_BUCKETS).cast("double")
+                )
+                * DSIR_Q
+            ).cast("long")
+        ).alias("lr_q"),
+    )
+    per_doc = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(F.sum("lr_q").alias("s"), F.count(F.lit(1)).alias("n_feats"))
+    )
+    log_w = F.col("s").cast("double") / DSIR_Q
+    return per_doc.select(
+        "doc_id",
+        F.col("n_feats").cast("long").alias("n_feats"),
+        F.round(log_w, 6).alias("log_weight"),
+        (log_w >= DSIR_SELECT_CUT).alias("selected"),
+    ).orderBy("doc_id")
+
+
+def events_asof_join(spark, sf_dir):
+    """AS-OF join (most-recent-prior event attachment) — the
+    point-in-time feature join every training pipeline runs when
+    assembling labels ("state as of the moment of the click").  Spark
+    has no ASOF JOIN; :mod:`operators.temporal` rewrites it as ONE
+    equi-shuffle + ordered window (no inequality join), here attaching
+    each click to the user's most recent strictly-prior purchase.
+    Oracle-checked against DuckDB's correlated point-in-time lookup
+    (deterministic tie-break: larger event_id at an equal timestamp)."""
+    from selfclean_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "value",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id", "t"
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "t", "value"
+    )
+    res = temporal.asof_join(
+        clicks,
+        purchases,
+        key="user_id",
+        ts="t",
+        id_col="event_id",
+        right_cols=["event_id", "t", "value"],
+    )
+    return res.select(
+        "event_id",
+        "user_id",
+        F.col("t").alias("click_t"),
+        F.coalesce("prior_event_id", F.lit(-1))
+        .cast("long")
+        .alias("prior_purchase_id"),
+        F.coalesce(F.col("t") - F.col("prior_t"), F.lit(-1))
+        .cast("long")
+        .alias("lag_secs"),
+        F.round(F.coalesce("prior_value", F.lit(0.0)), 6).alias("prior_value"),
+    ).orderBy("event_id")
+
+
+def events_range_join(spark, sf_dir):
+    """Bounded range self-join: all same-user event pairs within one
+    hour of each other — burst/correlation analysis.  The naive plan is
+    an inequality join (O(N²) per user); :mod:`operators.temporal`
+    bucketizes at the radius and equi-joins on (user, bucket) with a 3×
+    bounded explode, so the DuckDB twin's range predicate is recomputed
+    by a shuffle-hash plan that scales."""
+    from selfclean_spark.operators import temporal
+
+    ev = _t(spark, sf_dir, "events").select(
+        "event_id",
+        "user_id",
+        F.col("ts").cast("timestamp").cast("long").alias("t"),
+    )
+    res = temporal.range_join(
+        ev, ev, key="user_id", ts="t", id_col="event_id", delta=3600
+    )
+    return res.select(
+        "user_id", "id_a", "id_b", F.col("dt").cast("long").alias("dt")
+    ).orderBy("id_a", "id_b")
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

@@ -635,3 +635,101 @@ def test_substring_containment_warm_cache_signs_only_wrappers(spark, monkeypatch
     )
     assert "InMemoryTableScan" in plan
     caching.clear(blocking=True)
+
+
+def test_ccnet_and_dsir_semantics(spark):
+    """Beyond the value-hash oracles: the data-selection scores must
+    actually discriminate.  DSIR weights docs of the target language
+    (en) above every other language on average — the paper's basic
+    sanity property — and CCNet's tail flag fires on a non-trivial,
+    non-total subset."""
+    from selfclean_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    dsir = Q.dsir_importance_weights(spark, sf).toPandas()
+    docs = spark.read.parquet(f"{sf}/documents.parquet").select(
+        "doc_id", "lang"
+    ).toPandas()
+    j = dsir.merge(docs, on="doc_id")
+    means = j.groupby("lang")["log_weight"].mean()
+    assert means["en"] == means.max()
+    assert all(means["en"] > means[lang] for lang in means.index if lang != "en")
+
+    ccnet = Q.ccnet_perplexity_flags(spark, sf).toPandas()
+    n_flag = int(ccnet["tail_flag"].sum())
+    assert 0 < n_flag < len(ccnet)
+    # flag is exactly the threshold predicate on the emitted score
+    # (rounding can't flip it at the chosen cut for this corpus)
+    recomputed = ccnet["mean_logprob"] < -3.41
+    assert (recomputed == ccnet["tail_flag"]).all()
+
+
+# -- temporal joins -----------------------------------------------------------
+
+def test_asof_join_strict_prior_and_ties(spark):
+    """Analytic as-of semantics: strictly-prior only (a right row at the
+    SAME instant is invisible), ties among right rows break on larger
+    id, rows with no prior right row get NULLs."""
+    from selfclean_spark.operators import temporal
+
+    left = spark.createDataFrame(
+        [(1, 100, 10), (1, 101, 20), (1, 102, 5), (2, 103, 50)],
+        "user long, eid long, t long",
+    )
+    right = spark.createDataFrame(
+        # two right rows at t=10 (tie → eid 202 wins), one at t=20
+        # exactly equal to left eid=101 (invisible to it)
+        [(1, 201, 10, 1.0), (1, 202, 10, 2.0), (1, 203, 20, 3.0)],
+        "user long, eid long, t long, v double",
+    )
+    out = {
+        r.eid: (r.prior_eid, r.prior_v)
+        for r in temporal.asof_join(
+            left, right, key="user", ts="t", id_col="eid",
+            right_cols=["eid", "v"],
+        ).collect()
+    }
+    assert out[100] == (None, None)      # t=10: same-instant rights invisible
+    assert out[101] == (202, 2.0)        # t=20: the t=10 tie breaks to 202
+    assert out[102] == (None, None)      # t=5: nothing prior
+    assert out[103] == (None, None)      # other user: no rights at all
+
+
+def test_asof_join_single_exchange(spark):
+    """The rewrite's whole point: no join operator at all — one
+    hash-partition Exchange on the key feeding the window sort."""
+    from selfclean_spark.operators import temporal
+
+    left = spark.createDataFrame([(1, 1, 10)], "user long, eid long, t long")
+    right = spark.createDataFrame(
+        [(1, 2, 5, 1.0)], "user long, eid long, t long, v double"
+    )
+    plan = temporal.asof_join(
+        left, right, key="user", ts="t", id_col="eid", right_cols=["v"]
+    )._jdf.queryExecution().executedPlan().toString()
+    assert "Join" not in plan, plan
+    assert plan.count("Exchange") == 1, plan
+
+
+def test_range_join_exact_and_no_duplicates(spark):
+    """Bucket-adjacency join == brute-force range predicate, each pair
+    exactly once — including pairs straddling a bucket boundary."""
+    from selfclean_spark.operators import temporal
+
+    rows = [(1, i, t) for i, t in enumerate([0, 59, 60, 61, 150, 3600])]
+    rows += [(2, 100, 30), (2, 101, 95)]
+    df = spark.createDataFrame(rows, "user long, eid long, t long")
+    got = sorted(
+        (r.id_a, r.id_b, r.dt)
+        for r in temporal.range_join(
+            df, df, key="user", ts="t", id_col="eid", delta=60
+        ).collect()
+    )
+    brute = sorted(
+        (a_eid, b_eid, bt - at)
+        for (u1, a_eid, at) in rows
+        for (u2, b_eid, bt) in rows
+        if u1 == u2 and a_eid < b_eid and abs(bt - at) <= 60
+    )
+    assert got == brute
+    assert len(got) == len(set((a, b) for a, b, _ in got))  # no dupes

@@ -201,3 +201,26 @@ def test_mixture_weights_single_corpus_scan(spark):
     plan = _plan(Q.source_mixture_weights(spark, "/root/testdata/sf0.001"))
     assert plan.count("InMemoryTableScan") >= 2, plan
     caching.clear(blocking=True)
+
+
+def test_ccnet_and_dsir_plan_shape(spark):
+    """The r5 data-selection checks: no CartesianProduct anywhere; the
+    DSIR per-doc side must join the (structurally ≤4096-row) bucket
+    table via broadcast — the exploded gram stream itself is never
+    shuffled as strings (its only wide Exchange partitions on the
+    8-byte bucket id / the small LM key, and the per-doc aggregation
+    keys on doc_id)."""
+    from selfclean_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    ccnet = _plan(Q.ccnet_perplexity_flags(spark, sf))
+    assert "CartesianProduct" not in ccnet
+    dsir = _plan(Q.dsir_importance_weights(spark, sf))
+    assert "CartesianProduct" not in dsir
+    assert "BroadcastHashJoin" in dsir
+    # the gram string must not ride any hash-partitioned Exchange:
+    # bucket counts shuffle int64 bucket ids, the doc aggregation
+    # shuffles (doc_id, lr_q)
+    for line in dsir.splitlines():
+        if "Exchange hashpartitioning" in line:
+            assert "gram" not in line, line
