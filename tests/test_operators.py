@@ -733,3 +733,52 @@ def test_range_join_exact_and_no_duplicates(spark):
     )
     assert got == brute
     assert len(got) == len(set((a, b) for a, b, _ in got))  # no dupes
+
+
+def test_temporal_joins_randomized_vs_brute_force(spark):
+    """Seeded random event sets (ties included: timestamps drawn from a
+    SMALL integer range so equal-ts collisions are guaranteed) checked
+    against driver-side brute force for both temporal operators."""
+    from selfclean_spark.operators import temporal
+
+    for seed in (7, 8, 9):
+        rng = np.random.default_rng(seed)
+        n = 120
+        rows = [
+            (int(rng.integers(1, 6)), i, int(rng.integers(0, 50)))
+            for i in range(n)
+        ]
+        df = spark.createDataFrame(rows, "user long, eid long, t long")
+        left = df.filter(F.col("eid") % 2 == 0)
+        right = df.filter(F.col("eid") % 2 == 1).withColumn(
+            "v", F.col("eid").cast("double")
+        )
+        got = {
+            r.eid: r.prior_eid
+            for r in temporal.asof_join(
+                left, right, key="user", ts="t", id_col="eid",
+                right_cols=["eid", "v"],
+            ).collect()
+        }
+        rrows = [(u, e, t) for (u, e, t) in rows if e % 2 == 1]
+        for (u, e, t) in rows:
+            if e % 2 == 1:
+                continue
+            cands = [(rt, re) for (ru, re, rt) in rrows if ru == u and rt < t]
+            want = max(cands)[1] if cands else None
+            assert got[e] == want, (seed, e)
+        # range join vs brute force at a radius that spans bucket edges
+        delta = 7
+        got_pairs = sorted(
+            (r.id_a, r.id_b, r.dt)
+            for r in temporal.range_join(
+                df, df, key="user", ts="t", id_col="eid", delta=delta
+            ).collect()
+        )
+        brute = sorted(
+            (a, b, tb - ta)
+            for (ua, a, ta) in rows
+            for (ub, b, tb) in rows
+            if ua == ub and a < b and abs(tb - ta) <= delta
+        )
+        assert got_pairs == brute, seed
