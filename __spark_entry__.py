@@ -94,6 +94,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # data-selection release checks (oracle-checked)
         "ccnet_perplexity_flags": Q.ccnet_perplexity_flags,
         "dsir_importance_weights": Q.dsir_importance_weights,
+        "boilerplate_segment_scrub": Q.boilerplate_segment_scrub,
+        "stratified_sample": Q.stratified_sample,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

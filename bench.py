@@ -49,6 +49,11 @@ HEADLINE = [
     # data-selection release checks (r5)
     "ccnet_perplexity_flags",
     "dsir_importance_weights",
+    "boilerplate_segment_scrub",
+    "stratified_sample",
+    # temporal joins (r5)
+    "events_asof_join",
+    "events_range_join",
     # text analysis
     "doc_stats",
     "quality_by_source",

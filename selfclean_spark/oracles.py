@@ -1238,3 +1238,57 @@ FROM e a JOIN e b
  AND abs(b.t - a.t) <= 3600
 ORDER BY id_a, id_b
 """
+
+# Boilerplate segment scrub (queries.boilerplate_segment_scrub): the
+# twin counts segment df at the STRING level and reconstructs with a
+# list comprehension — an independent recomputation of the hash-first
+# two-pass scrub (hashes+positions shuffle; strings only for the
+# flagged subset).
+ORACLES["boilerplate_segment_scrub"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), seglist AS (
+  SELECT doc_id,
+         [{pos: i, seg: list_aggregate(list_slice(w, i*8+1, i*8+8),
+                                       'string_agg', ' ')}
+          for i in generate_series(0, (ceil(len(w)/8.0))::INT - 1)] AS sl
+  FROM toks
+), segs AS (
+  SELECT doc_id, unnest(sl, recursive := true) FROM seglist
+), c AS (
+  SELECT seg, count(*) AS c FROM segs GROUP BY 1
+), flagged AS (
+  SELECT seg FROM c WHERE c >= 3
+), dsets AS (
+  SELECT doc_id, list(pos) AS dp
+  FROM segs JOIN flagged USING (seg) GROUP BY 1
+)
+SELECT s.doc_id,
+       len(s.sl)::BIGINT AS n_segments,
+       coalesce(len(d.dp), 0)::BIGINT AS n_dropped,
+       coalesce(list_aggregate(
+         [x.seg for x in s.sl
+          if NOT list_contains(coalesce(d.dp, []), x.pos)],
+         'string_agg', ' '), '') AS scrubbed_text
+FROM seglist s LEFT JOIN dsets d USING (doc_id)
+ORDER BY s.doc_id
+"""
+
+
+# stratified deterministic sample (queries.stratified_sample): the twin
+# runs the PLAIN per-stratum window over Spark's xxhash64-of-long
+# recomputed in HUGEINT arithmetic — the engine's prefilter+rescue
+# optimization must be invisible in the output.
+ORACLES["stratified_sample"] = f"""
+WITH src AS (
+  SELECT doc_id, source FROM documents
+), {_xxhash64_long_ctes("src", "doc_id, source", "doc_id")},
+ranked AS (
+  SELECT source, doc_id,
+         row_number() OVER (PARTITION BY source ORDER BY xh, doc_id) AS rk
+  FROM zhashed
+)
+SELECT source, rk::BIGINT AS sample_rank, doc_id
+FROM ranked WHERE rk <= 5 ORDER BY source, rk
+"""

@@ -1715,6 +1715,156 @@ def events_range_join(spark, sf_dir):
     ).orderBy("id_a", "id_b")
 
 
+# Boilerplate segment scrub (RefinedWeb/Penedo 2023 line-wise dedup,
+# C4's boilerplate-line removal): segments repeated ≥ SCRUB_MIN_DF
+# times corpus-wide are removed from every document.  The corpus here
+# has no newlines, so "line" = fixed 8-token segment (deterministic in
+# both engines).
+SCRUB_SEG_W = 8
+SCRUB_MIN_DF = 3
+
+
+def boilerplate_segment_scrub(spark, sf_dir):
+    """Corpus-wide repeated-segment removal emitting the SCRUBBED text
+    (a transform, not just a report — the release artifact).
+
+    100-TB shape: document strings NEVER ride a shuffle.  Pass 1
+    shuffles (doc_id, pos, xxhash64(seg)) — 8-byte hashes — into a
+    map-side-combinable df count; the flagged-hash set then gates a
+    string recount (collision-proof true-df filter, the
+    duplicated_ngram_spans pattern) over the flagged subset ONLY; the
+    per-doc drop list is an int-position array joined back to the
+    corpus scan, and the scrub itself is a map-side array filter +
+    rejoin inside codegen.  The DuckDB twin recomputes everything at
+    the string level — an independent check of the hash-first rewrite."""
+    d = _t(spark, sf_dir, "documents")
+    w = F.split(F.trim("text"), r"\s+")
+    n_seg = F.ceil(F.size(w) / F.lit(float(SCRUB_SEG_W))).cast("int")
+    seg_arr = F.transform(
+        F.sequence(F.lit(0), n_seg - 1),
+        lambda i: F.array_join(
+            F.slice(w, i * SCRUB_SEG_W + 1, SCRUB_SEG_W), " "
+        ),
+    )
+    base = d.select("doc_id", seg_arr.alias("segs"))
+    stream = base.select(
+        "doc_id", F.posexplode("segs").alias("pos", "seg")
+    ).withColumn("sh", F.xxhash64("seg"))
+    flagged_h = (
+        stream.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= SCRUB_MIN_DF)
+        .select("sh")
+    )
+    # strings enter a shuffle only for the flagged subset (tiny); the
+    # true-string recount makes a 64-bit collision unable to scrub an
+    # innocent segment (ADVICE r4 collision-proofing, applied here from
+    # the start)
+    flagged_stream = stream.join(flagged_h, "sh", "left_semi")
+    true_flagged = (
+        flagged_stream.groupBy("seg")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= SCRUB_MIN_DF)
+        .select("seg")
+    )
+    drops = flagged_stream.join(true_flagged, "seg", "left_semi").select(
+        "doc_id", "pos"
+    )
+    drop_sets = drops.groupBy("doc_id").agg(
+        F.collect_set("pos").alias("drop_pos")
+    )
+    joined = base.join(drop_sets, "doc_id", "left").select(
+        "doc_id",
+        "segs",
+        F.coalesce("drop_pos", F.array().cast("array<int>")).alias(
+            "drop_pos"
+        ),
+    )
+    kept = F.filter(
+        F.transform(
+            "segs", lambda s, i: F.struct(i.alias("i"), s.alias("s"))
+        ),
+        lambda x: ~F.array_contains(F.col("drop_pos"), x["i"]),
+    )
+    return joined.select(
+        "doc_id",
+        F.size("segs").cast("long").alias("n_segments"),
+        (F.size("segs") - F.size(kept)).cast("long").alias("n_dropped"),
+        F.array_join(
+            F.transform(kept, lambda x: x["s"]), " "
+        ).alias("scrubbed_text"),
+    ).orderBy("doc_id")
+
+
+# Stratified deterministic sampling: exactly SAMPLE_QUOTA docs per
+# source, chosen by xxhash64(doc_id) rank — reproducible across runs,
+# engines and partitionings (no RNG state).  The eval-set / human-audit
+# draw every release pipeline publishes.
+SAMPLE_QUOTA = 5
+# prefilter oversampling factor: keep ~OVERSAMPLE×quota expected rows
+# per stratum before the window (tests shrink it to force the rescue)
+SAMPLE_OVERSAMPLE = 8.0
+
+
+def stratified_sample(spark, sf_dir):
+    """Exact per-stratum quota sample, hash-ranked.
+
+    100-TB shape: a naive per-stratum window sorts EVERY row of every
+    stratum.  Here a count-first conservative prefilter keeps only
+    hashes below ~8×quota/|stratum| of the hash space before the
+    window (expected 8×quota rows per stratum sort instead of
+    |stratum|), with a rescue branch — any stratum whose prefilter
+    kept fewer than quota rows (probabilistically negligible, never
+    assumed) falls back to its full row set.  Output is IDENTICAL to
+    the plain window (the prefilter can only discard rows that can
+    never rank ≤ quota, and the rescue restores any stratum where the
+    bound misfired); the DuckDB twin runs the plain window over
+    Spark's xxhash64 recomputed in HUGEINT arithmetic, so the sample
+    MEMBERSHIP itself is engine-verified."""
+    d = _t(spark, sf_dir, "documents").select("doc_id", "source")
+    hashed = d.withColumn("h", F.xxhash64("doc_id"))
+    counts = hashed.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    frac = F.least(
+        F.lit(1.0),
+        F.lit(SAMPLE_OVERSAMPLE * SAMPLE_QUOTA) / F.col("n").cast("double"),
+    )
+    thr = F.lit(-(2.0**63)) + frac * F.lit(2.0**64)
+    bounds = counts.select("source", thr.alias("thr"))
+    pref = hashed.join(F.broadcast(bounds), "source").filter(
+        F.col("h").cast("double") <= F.col("thr")
+    )
+    kept_counts = pref.groupBy("source").agg(F.count(F.lit(1)).alias("k"))
+    # drive the rescue off the FULL strata list: a stratum whose
+    # prefilter kept zero rows has no kept_counts group at all
+    need_all = (
+        counts.join(kept_counts, "source", "left")
+        .filter(F.coalesce(F.col("k"), F.lit(0)) < SAMPLE_QUOTA)
+        .select("source")
+    )
+    # rescued strata contribute their FULL row set and are excluded
+    # from the prefiltered side (no duplicates); when no stratum needs
+    # rescue the anti-join is a no-op and the semi side is empty
+    pool = (
+        pref.join(F.broadcast(need_all), "source", "left_anti")
+        .select("source", "doc_id", "h")
+        .unionByName(
+            hashed.join(F.broadcast(need_all), "source", "left_semi").select(
+                "source", "doc_id", "h"
+            )
+        )
+    )
+    w = Window.partitionBy("source").orderBy("h", "doc_id")
+    return (
+        pool.withColumn("sample_rank", F.row_number().over(w))
+        .filter(F.col("sample_rank") <= SAMPLE_QUOTA)
+        .select(
+            "source", F.col("sample_rank").cast("long").alias("sample_rank"),
+            "doc_id",
+        )
+        .orderBy("source", "sample_rank")
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

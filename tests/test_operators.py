@@ -782,3 +782,68 @@ def test_temporal_joins_randomized_vs_brute_force(spark):
             if ua == ub and a < b and abs(tb - ta) <= delta
         )
         assert got_pairs == brute, seed
+
+
+def test_segment_scrub_planted_boilerplate(spark):
+    """Planted repeated segment: the 8-token license header shared by 3
+    docs is scrubbed from each; unique content survives verbatim; a doc
+    of pure boilerplate scrubs to empty."""
+    from selfclean_spark import queries as Q
+
+    header = "copyright notice all rights reserved license apache two"
+    rows = [
+        (0, header + " unique zero content words here now extra"),
+        (1, header + " other one body text goes right here"),
+        (2, header),
+        (3, "totally unique document with no shared segments at all x"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    import os, tempfile
+    with tempfile.TemporaryDirectory() as td:
+        df.write.parquet(os.path.join(td, "documents.parquet"))
+        out = {
+            r.doc_id: r
+            for r in Q.boilerplate_segment_scrub(spark, td).collect()
+        }
+    assert out[2].scrubbed_text == "" and out[2].n_dropped == 1
+    assert out[0].scrubbed_text == "unique zero content words here now extra"
+    assert out[1].scrubbed_text == "other one body text goes right here"
+    assert out[3].n_dropped == 0
+    assert out[3].scrubbed_text == rows[3][1]
+
+
+def test_stratified_sample_rescue_equals_plain_window(spark, monkeypatch, tmp_path):
+    """Shrinking the prefilter oversample factor to 0.2 (expected kept
+    = quota/5 per stratum) forces the rescue branch for every stratum —
+    the output must STILL equal the plain-window sample, proving the
+    prefilter+rescue machinery is a pure physical optimization."""
+    import os
+
+    from selfclean_spark import queries as Q
+
+    rows = [(i, f"s{i % 3}") for i in range(600)]
+    df = spark.createDataFrame(rows, "doc_id long, source string")
+    df = df.withColumn("text", F.lit("x"))
+    path = str(tmp_path / "strat")
+    df.write.parquet(os.path.join(path, "documents.parquet"))
+
+    def run():
+        return sorted(
+            map(tuple, Q.stratified_sample(spark, path).collect())
+        )
+
+    normal = run()
+    monkeypatch.setattr(Q, "SAMPLE_OVERSAMPLE", 0.2)
+    rescued = run()
+    assert normal == rescued
+    # brute force: plain hash-ordered window
+    want = sorted(
+        (src, rk + 1, did)
+        for src in ("s0", "s1", "s2")
+        for rk, did in enumerate(
+            [r.doc_id for r in df.filter(F.col("source") == src)
+             .withColumn("h", F.xxhash64("doc_id"))
+             .orderBy("h", "doc_id").limit(Q.SAMPLE_QUOTA).collect()]
+        )
+    )
+    assert normal == want

@@ -224,3 +224,19 @@ def test_ccnet_and_dsir_plan_shape(spark):
     for line in dsir.splitlines():
         if "Exchange hashpartitioning" in line:
             assert "gram" not in line, line
+
+
+def test_segment_scrub_pass1_shuffles_hashes_only(spark):
+    """boilerplate_segment_scrub's df-count Exchange partitions on the
+    8-byte sh — the segment string must never ride the corpus-wide
+    shuffle (it travels only in the flagged-subset recount)."""
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.boilerplate_segment_scrub(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    pass1 = [
+        line for line in plan.splitlines()
+        if "Exchange hashpartitioning(sh" in line
+    ]
+    assert pass1, plan
+    assert all("seg#" not in line for line in pass1), pass1
