@@ -1523,7 +1523,15 @@ def ccnet_perplexity_flags(spark, sf_dir):
         "lang",
         F.explode(F.split(F.trim("text"), r"\s+")).alias("tok"),
     ).filter(F.col("tok") != "")
-    counts = toks.groupBy("lang", "tok").agg(F.count(F.lit(1)).alias("c"))
+    # the LM table feeds two consumers (per-lang totals + the log-prob
+    # projection): persist the vocabulary-sized aggregate so the corpus
+    # explode+shuffle runs ONCE (registered — the source_mixture_weights
+    # double-scan lesson, r4)
+    counts = caching.register_persist(
+        toks.groupBy("lang", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
     totals = counts.groupBy("lang").agg(F.sum("c").alias("t"))
     lp = counts.join(F.broadcast(totals), "lang").select(
         "lang",
@@ -1607,9 +1615,16 @@ def dsir_importance_weights(spark, sf_dir):
             ).alias("b"),
         )
     )
-    bucket_counts = feats.groupBy("b").agg(
-        F.count(F.lit(1)).alias("cr"),
-        F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
+    # ≤DSIR_BUCKETS rows feeding two consumers (grand totals + the
+    # log-ratio projection): persist so the gram explode + bucket
+    # shuffle runs ONCE
+    bucket_counts = caching.register_persist(
+        feats.groupBy("b")
+        .agg(
+            F.count(F.lit(1)).alias("cr"),
+            F.count(F.when(F.col("lang") == DSIR_TARGET_LANG, 1)).alias("ct"),
+        )
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     tot = bucket_counts.agg(
         F.sum("cr").alias("tr"), F.sum("ct").alias("tt")
@@ -1760,7 +1775,15 @@ def boilerplate_segment_scrub(spark, sf_dir):
     # true-string recount makes a 64-bit collision unable to scrub an
     # innocent segment (ADVICE r4 collision-proofing, applied here from
     # the start)
-    flagged_stream = stream.join(flagged_h, "sh", "left_semi")
+    # the flagged subset (tiny by construction) feeds two consumers
+    # (the true-df recount and the drop list): persist it so the
+    # corpus explode runs exactly twice total (pass 1 hash count +
+    # this subset extraction) — the documented two-pass contract
+    flagged_stream = caching.register_persist(
+        stream.join(flagged_h, "sh", "left_semi").persist(
+            StorageLevel.MEMORY_AND_DISK
+        )
+    )
     true_flagged = (
         flagged_stream.groupBy("seg")
         .agg(F.count(F.lit(1)).alias("c"))
