@@ -208,3 +208,45 @@ def test_sessionization_idle_timeout_evicts_state(spark, tmp_path):
     # retained-while-active: the 5-min-gap second event extended user
     # 0's ONE open session before the idle eviction
     assert got[0] == (1, 2, 2)
+
+
+def test_interval_join_stream_cross_drain_parity(spark, tmp_path):
+    """Stream-stream interval join: purchases in the hour before each
+    click, drained in TWO availableNow runs sharing one checkpoint —
+    the buffered right-side state must survive the restart so a pair
+    whose purchase arrived in drain 1 and click in drain 2 is still
+    found — and the union must equal the batch time-range join."""
+    from selfclean_spark.streaming.interval import run_interval_join
+
+    ldir, rdir = str(tmp_path / "clicks"), str(tmp_path / "purch")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    clicks1 = [_ev(1, 100, 90), _ev(2, 101, 30)]
+    purch1 = [_ev(1, 200, 45, "purchase"), _ev(2, 201, 25, "purchase")]
+    # drain 2: a click whose matching purchase arrived in drain 1
+    clicks2 = [_ev(1, 102, 100), _ev(1, 103, 400)]
+    purch2 = [_ev(1, 202, 95, "purchase")]
+
+    _write_drop(spark, clicks1, ldir)
+    _write_drop(spark, purch1, rdir)
+    run_interval_join(spark, ldir, rdir, out, ckpt)
+    _write_drop(spark, clicks2, ldir)
+    _write_drop(spark, purch2, rdir)
+    run_interval_join(spark, ldir, rdir, out, ckpt)
+
+    got = sorted(
+        (r.id_l, r.id_r, r.lag_secs)
+        for r in spark.read.parquet(out).collect()
+    )
+    all_clicks = clicks1 + clicks2
+    all_purch = purch1 + purch2
+    want = sorted(
+        (c[1], p[1], int((c[2] - p[2]).total_seconds()))
+        for c in all_clicks
+        for p in all_purch
+        if c[0] == p[0]
+        and dt.timedelta(0) <= c[2] - p[2] <= dt.timedelta(seconds=3600)
+    )
+    assert got == want
+    # the cross-drain pair is present: click 102 (drain 2) × purchase
+    # 200 (drain 1, 55 min earlier)
+    assert (102, 200, 3300) in set(got)
