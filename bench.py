@@ -51,6 +51,7 @@ HEADLINE = [
     "dsir_importance_weights",
     "boilerplate_segment_scrub",
     "stratified_sample",
+    "char_entropy_stats",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

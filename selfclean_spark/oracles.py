@@ -1292,3 +1292,27 @@ ranked AS (
 SELECT source, rk::BIGINT AS sample_rank, doc_id
 FROM ranked WHERE rk <= 5 ORDER BY source, rk
 """
+
+# char-entropy quality signal (queries.char_entropy_stats): per-char
+# p*ln(p) terms floored to int64 at 1e-9 — the per-doc sum is exact
+# integer arithmetic, the flag compares engine-identical doubles.
+ORACLES["char_entropy_stats"] = """
+WITH chars AS (
+  SELECT doc_id, len(text)::BIGINT AS n,
+         unnest(string_split_regex(text, '')) AS ch
+  FROM documents
+), cf AS (
+  SELECT doc_id, n, ch, count(*)::BIGINT AS c
+  FROM chars WHERE ch <> '' GROUP BY doc_id, n, ch
+), agg AS (
+  SELECT doc_id, n,
+         sum(floor((c::DOUBLE / n) * ln(c::DOUBLE / n)
+                   * 1000000000)::BIGINT)::BIGINT AS hq,
+         count(*)::BIGINT AS n_distinct
+  FROM cf GROUP BY doc_id, n
+)
+SELECT doc_id, n AS n_chars, n_distinct AS n_distinct_chars,
+       round(-hq::DOUBLE / 1000000000, 6) AS entropy,
+       (-hq::DOUBLE / 1000000000 < 2.8) AS low_entropy
+FROM agg ORDER BY doc_id
+"""

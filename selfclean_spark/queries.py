@@ -1888,6 +1888,49 @@ def stratified_sample(spark, sf_dir):
     )
 
 
+# Character-entropy quality signal (the compressibility-family filter:
+# Gopher/Dolma reject highly repetitive, low-entropy text; Shannon
+# entropy over the char distribution is the engine-portable analog of
+# their zlib-ratio signal).  Per-char terms are quantized to int64 at
+# 1e-9 so the per-doc sum is exact in any order/engine.
+ENTROPY_Q = 1_000_000_000
+ENTROPY_LOW_CUT = 2.8  # nats; low-entropy tail of the testdata corpus
+
+
+def char_entropy_stats(spark, sf_dir):
+    """Per-document Shannon char entropy + low-entropy flag.
+
+    100-TB shape: explode to (doc_id, char) → one map-side-combinable
+    (doc, char) count (≤ alphabet-size groups per doc pre-combine) →
+    one per-doc sum; all native exprs, no Python."""
+    d = _t(spark, sf_dir, "documents")
+    chars = d.select(
+        "doc_id",
+        F.length("text").cast("long").alias("n"),
+        F.explode(F.split("text", "")).alias("ch"),
+    ).filter(F.col("ch") != "")
+    cf = chars.groupBy("doc_id", "n", "ch").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    terms = cf.select(
+        "doc_id",
+        "n",
+        F.floor(p * F.log(p) * ENTROPY_Q).cast("long").alias("tq"),
+    )
+    agg = terms.groupBy("doc_id", "n").agg(
+        F.sum("tq").alias("hq"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    ent = -F.col("hq").cast("double") / ENTROPY_Q
+    return agg.select(
+        "doc_id",
+        F.col("n").alias("n_chars"),
+        F.col("n_distinct").cast("long").alias("n_distinct_chars"),
+        F.round(ent, 6).alias("entropy"),
+        (ent < ENTROPY_LOW_CUT).alias("low_entropy"),
+    ).orderBy("doc_id")
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

@@ -174,3 +174,38 @@ def _batch_edges_for(spark, pdf, cfg):
         band_hashes(sigs, cfg.signature), cfg.band_bucket_cap
     )
     return verify_ops.verify_candidates(pairs, ingested, sigs, cfg)
+
+
+def test_read_documents_jsonl_clean_and_rejects(spark, tmp_path):
+    """JSONL ingest: well-formed lines parse against the DECLARED
+    schema; syntactically-broken and semantically-incomplete lines land
+    in the reject relation with the raw line preserved — never silently
+    dropped, never fatal. A round-trip through the dedup entry point
+    proves the clean relation is pipeline-ready."""
+    from selfclean_spark.sources.jsonl import read_documents_jsonl
+
+    lines = [
+        '{"doc_id": 1, "text": "alpha beta gamma", "lang": "en", "source": "s0"}',
+        '{"doc_id": 2, "text": "alpha beta gamma", "lang": "en", "source": "s0"}',
+        '{"doc_id": 3, "text": "delta epsilon", "lang": "de", "source": "s1"}',
+        '{not valid json at all',
+        '{"doc_id": 4, "lang": "en", "source": "s1"}',  # missing text
+        '{"text": "no id", "lang": "en", "source": "s1"}',  # missing doc_id
+    ]
+    p = tmp_path / "docs.jsonl"
+    p.write_text("\n".join(lines) + "\n")
+    clean, rejects = read_documents_jsonl(spark, str(p))
+    got = {r.doc_id: r for r in clean.collect()}
+    assert set(got) == {1, 2, 3}
+    assert got[1].n_chars == len("alpha beta gamma")
+    rej = [r.line for r in rejects.collect()]
+    assert len(rej) == 3
+    assert any("not valid json" in x for x in rej)
+    # clean relation drives the dedup surface directly
+    from selfclean_spark.operators import dedup as D
+
+    pairs = {
+        (r.id_a, r.id_b)
+        for r in D.exact_dup_pairs(clean, "doc_id", "text").collect()
+    }
+    assert pairs == {(1, 2)}
