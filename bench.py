@@ -86,6 +86,56 @@ def materialize(df) -> int:
     return 0
 
 
+def bw_canary(p: int = 0, seconds: float = 2.5) -> float:
+    """Multi-core DRAM-throughput canary (Spark-independent).
+
+    The single-threaded latency canary below cannot see a noisy
+    neighbor eating memory bandwidth: that kind of pollution leaves a
+    1-thread filter+agg untouched while uniformly slowing every
+    32-thread query (observed r5: canary 0.58 s clean, all queries
+    1.3-2.3x slow; and the inverse window minutes earlier).  This
+    probe runs the SAME splitmix64 NumPy kernel as BENCH/hw_ceiling.py
+    in one OS process per core and returns aggregate kernel
+    iterations/sec — sustained multi-core throughput, the resource the
+    parallel queries actually contend for.  Compare across BENCH_r{N}
+    files the same way as canary_sec (it is machine drift, never code
+    drift: this function must never be edited).
+    """
+    import multiprocessing as mp
+
+    import numpy as np
+
+    def _loop(sec: float, out_q) -> None:
+        rng = np.random.default_rng(1)
+        x = rng.integers(0, 2**62, size=2_000_000, dtype=np.int64)
+
+        def _mix(x, deadline):
+            iters = 0
+            while time.perf_counter() < deadline:
+                x = (x ^ (x >> np.int64(30))) * np.int64(-4658895280553007687)
+                x = (x ^ (x >> np.int64(27))) * np.int64(-7723592293110705685)
+                x = x ^ (x >> np.int64(31))
+                iters += 1
+            return x, iters
+
+        # untimed warm-up: fault the array in, let the core ramp to its
+        # sustained frequency, and absorb process-spawn skew so every
+        # process's timed window sees all P peers active
+        x, _ = _mix(x, time.perf_counter() + 1.0)
+        _, iters = _mix(x, time.perf_counter() + sec)
+        out_q.put(iters)
+
+    p = p or (os.cpu_count() or 8)
+    q: "mp.Queue" = mp.Queue()
+    procs = [mp.Process(target=_loop, args=(seconds, q)) for _ in range(p)]
+    for pr in procs:
+        pr.start()
+    total = sum(q.get() for _ in procs)
+    for pr in procs:
+        pr.join()
+    return round(total / seconds, 1)
+
+
 def canary(spark, sf_dir: str):
     """Never-changing VM-drift canary: a fixed filter+aggregate over
     lineitem that is NOT part of the query surface and must never be
@@ -147,6 +197,7 @@ def main() -> None:
         materialize(canary(spark, sf_dir))
         canary_walls.append(round(time.time() - t0, 3))
         spark.catalog.clearCache()
+    bw_before = bw_canary()
     for name, fn in fns.items():
         walls = []
         for _ in range(repeats):
@@ -166,6 +217,7 @@ def main() -> None:
         timings[name] = min(walls)
         total += timings[name]
 
+    bw_after = bw_canary()
     dedup_secs = timings["minhash_verified_pairs"] + timings["minhash_components"]
     print(
         json.dumps(
@@ -183,6 +235,7 @@ def main() -> None:
                 "canary_sec": min(canary_walls),
                 "canary_walls": canary_walls,
                 "canary_warmup": True,
+                "bw_canary_iters_per_sec": [bw_before, bw_after],
                 "all_walls": all_walls,
             }
         )
