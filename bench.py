@@ -52,6 +52,7 @@ HEADLINE = [
     "boilerplate_segment_scrub",
     "stratified_sample",
     "char_entropy_stats",
+    "vocab_topk_tokens",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

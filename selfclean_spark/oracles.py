@@ -1316,3 +1316,22 @@ SELECT doc_id, n AS n_chars, n_distinct AS n_distinct_chars,
        (-hq::DOUBLE / 1000000000 < 2.8) AS low_entropy
 FROM agg ORDER BY doc_id
 """
+
+# top-K vocabulary report (queries.vocab_topk_tokens): identical
+# whitespace tokenization, exact integer counts, and the same
+# deterministic tie-break (count desc, token asc) at the K boundary —
+# both engines cut the same set.
+ORACLES["vocab_topk_tokens"] = """
+WITH toks AS (
+  SELECT doc_id,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), toks_f AS (SELECT * FROM toks WHERE token <> ''),
+per_doc AS (
+  SELECT token, doc_id, count(*)::BIGINT AS c FROM toks_f GROUP BY 1, 2
+)
+SELECT token, sum(c)::BIGINT AS n_occurrences, count(*)::BIGINT AS n_docs
+FROM per_doc GROUP BY token
+ORDER BY n_occurrences DESC, token ASC
+LIMIT 15
+"""

@@ -1931,6 +1931,47 @@ def char_entropy_stats(spark, sf_dir):
     ).orderBy("doc_id")
 
 
+# top-of-vocabulary report contract: K kept small enough that the
+# distributed top-K (TakeOrderedAndProject) merge is trivially
+# driver-safe; ties at the boundary break on token text ascending so
+# both engines cut the same set.  K=15 lands the testdata corpus's
+# occurrence tie ('data'/'table', 908 each) exactly ON the boundary,
+# so the oracle check exercises the tie-break, not just the counts.
+VOCAB_TOPK = 15
+
+
+def vocab_topk_tokens(spark, sf_dir):
+    """Corpus-wide top-K vocabulary report (tokenizer/vocab prep: the
+    frequency table that seeds BPE merges and stop-word lists), with
+    per-token occurrence and document-frequency counts.
+
+    100-TB shape: tokens are short heavy-hitter keys, so the exchanges
+    carry per-partition DISTINCT vocab rows, not corpus rows — two
+    map-side-combinable aggregations ((token, doc) collapse, then the
+    token rollup), and the global top-K is Spark's distributed
+    TakeOrderedAndProject (per-partition limit K, single K·P-row
+    driver merge — never a global sort).  Deterministic tie-break
+    (count desc, token asc) keeps the boundary engine-stable.  No
+    Python in the plan."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token"),
+    ).filter(F.col("token") != "")
+    per_doc = toks.groupBy("token", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc.groupBy("token")
+        .agg(
+            F.sum("c").cast("long").alias("n_occurrences"),
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+        )
+        .orderBy(F.desc("n_occurrences"), F.asc("token"))
+        .limit(VOCAB_TOPK)
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

@@ -240,3 +240,18 @@ def test_segment_scrub_pass1_shuffles_hashes_only(spark):
     ]
     assert pass1, plan
     assert all("seg#" not in line for line in pass1), pass1
+
+
+def test_vocab_topk_is_distributed_topk(spark):
+    """vocab_topk_tokens must plan as distributed top-K
+    (TakeOrderedAndProject: per-partition limit, K·P driver merge) over
+    two map-side-combinable aggregations — never a global Sort of the
+    vocabulary, and never more than the two aggregation Exchanges."""
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.vocab_topk_tokens(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    # a global Sort node would mean the limit didn't fold into top-K
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+    assert plan.count("Exchange") == 2, plan
+    assert "partial_count" in plan or "partial" in plan.lower(), plan
