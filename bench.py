@@ -53,6 +53,7 @@ HEADLINE = [
     "stratified_sample",
     "char_entropy_stats",
     "vocab_topk_tokens",
+    "source_overlap_pairs",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

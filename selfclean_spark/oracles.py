@@ -1335,3 +1335,38 @@ FROM per_doc GROUP BY token
 ORDER BY n_occurrences DESC, token ASC
 LIMIT 15
 """
+
+# cross-corpus containment audit (queries.source_overlap_pairs): the
+# token-3-gram construction and the source-df cap on the inverted index
+# are mirrored exactly (capped-universe semantics on both sides);
+# counts are exact integers and the Jaccard is one identical division
+# + round.
+ORACLES["source_overlap_pairs"] = """
+WITH toks AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT DISTINCT source,
+         unnest(list_distinct([w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+                 for i in generate_series(1, len(w)-2)])) AS h
+  FROM toks WHERE len(w) >= 3
+), capped AS (
+  SELECT source, h FROM (
+    SELECT source, h, count(*) OVER (PARTITION BY h) AS sdf FROM grams
+  ) WHERE sdf <= 4
+), sizes AS (
+  SELECT source, count(*)::BIGINT AS n FROM capped GROUP BY 1
+), shared AS (
+  SELECT a.source AS source_a, b.source AS source_b,
+         count(*)::BIGINT AS n_shared
+  FROM capped a JOIN capped b USING (h)
+  WHERE a.source < b.source
+  GROUP BY 1, 2
+)
+SELECT source_a, source_b, n_shared, sa.n AS n_a, sb.n AS n_b,
+       round(n_shared::DOUBLE / (sa.n + sb.n - n_shared), 6) AS jaccard
+FROM shared
+JOIN sizes sa ON sa.source = shared.source_a
+JOIN sizes sb ON sb.source = shared.source_b
+ORDER BY source_a, source_b
+"""

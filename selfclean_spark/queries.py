@@ -1972,6 +1972,85 @@ def vocab_topk_tokens(spark, sf_dir):
     )
 
 
+# cross-corpus overlap contract: grams shared by more than this many
+# sources are universal boilerplate, not lineage — dropped (count-first,
+# mirrored in the oracle; overlap is reported over the CAPPED gram
+# universe, the same capped-vocabulary semantics as the n-gram Jaccard
+# index) so one ubiquitous phrase can never quadratically explode the
+# source-pair join at web scale.  4 puts real testdata grams (source-df
+# runs to 7) on both sides of the cut.
+OVERLAP_SOURCE_DF_CAP = 4
+
+
+def source_overlap_pairs(spark, sf_dir):
+    """Corpus-containment audit between sources (the fork/mirror
+    question at repo granularity, the dump-overlap question at
+    web-crawl granularity: how much of corpus B's phrasing is already
+    in corpus A?): for every source pair, the number of shared
+    distinct token 3-grams and the Jaccard overlap of their
+    (df-capped) gram vocabularies.
+
+    100-TB shape: documents collapse to distinct (source, gram) rows
+    at the scan; the inverted index (gram → sources) is df-capped
+    count-first like the n-gram doc index — a gram shared by every
+    domain is dropped, not quadratically joined — so per-gram join
+    fan-out is ≤ cap² and the pair aggregate is #sources²-bounded;
+    the per-source size table broadcasts."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= DUPSPAN_W)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (DUPSPAN_W - 1)),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at("t", i + k) for k in range(DUPSPAN_W)]
+            ),
+        )
+    )
+    grams = toks.select("source", F.explode(gram_arr).alias("h")).distinct()
+    capped = (
+        grams.withColumn(
+            "sdf", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("sdf") <= OVERLAP_SOURCE_DF_CAP)
+        .drop("sdf")
+    )
+    sizes = capped.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    a = capped.select(F.col("source").alias("source_a"), "h")
+    b = capped.select(F.col("source").alias("source_b"), "h")
+    shared = (
+        a.join(b, "h")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+    )
+    sz_a = F.broadcast(
+        sizes.select(F.col("source").alias("source_a"), F.col("n").alias("n_a"))
+    )
+    sz_b = F.broadcast(
+        sizes.select(F.col("source").alias("source_b"), F.col("n").alias("n_b"))
+    )
+    jac = F.col("n_shared").cast("double") / (
+        F.col("n_a") + F.col("n_b") - F.col("n_shared")
+    ).cast("double")
+    return (
+        shared.join(sz_a, "source_a")
+        .join(sz_b, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(jac, 6).alias("jaccard"),
+        )
+        .orderBy("source_a", "source_b")
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

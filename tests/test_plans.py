@@ -255,3 +255,17 @@ def test_vocab_topk_is_distributed_topk(spark):
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
     assert plan.count("Exchange") == 2, plan
     assert "partial_count" in plan or "partial" in plan.lower(), plan
+
+
+def test_source_overlap_join_shape(spark):
+    """source_overlap_pairs: the per-source size tables must broadcast
+    (two BroadcastHashJoins), the gram self-join must be a hash join on
+    the capped index — never a CartesianProduct."""
+    from selfclean_spark import queries as Q
+
+    df = Q.source_overlap_pairs(spark, "/root/testdata/sf0.001")
+    df.collect()
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    final = plan.split("== Initial Plan ==")[0]
+    assert final.count("BroadcastHashJoin") >= 2, final
