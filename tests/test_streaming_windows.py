@@ -250,3 +250,35 @@ def test_interval_join_stream_cross_drain_parity(spark, tmp_path):
     # the cross-drain pair is present: click 102 (drain 2) × purchase
     # 200 (drain 1, 55 min earlier)
     assert (102, 200, 3300) in set(got)
+
+
+def test_stream_dedup_within_watermark_matches_batch(spark, tmp_path):
+    """Replayed events arriving within the lateness bound (same batch
+    AND across the batch boundary) are dropped; output == batch
+    dropDuplicates over the union.  State is watermark-bounded by
+    construction (dropDuplicatesWithinWatermark), which is the whole
+    point vs an unbounded streaming dropDuplicates."""
+    from selfclean_spark.streaming.stream_dedup import run_dedup_stream
+
+    src, out, ckpt = (str(tmp_path / d) for d in ("sd_src", "sd_out", "sd_ckpt"))
+    # drop 1 carries an in-batch replay of event 1; drop 2 replays
+    # events 3 and 4 across the boundary (well inside the 2 h bound of
+    # the watermark their first arrivals advanced it to) plus new rows
+    d1 = [_ev(1, 1, 5), _ev(1, 1, 5), _ev(1, 2, 20), _ev(2, 3, 30), _ev(2, 4, 45)]
+    d2 = [_ev(2, 3, 30), _ev(2, 4, 45), _ev(1, 5, 60), _ev(3, 6, 75)]
+    _write_drop(spark, d1, src)
+    run_dedup_stream(spark, src, out, ckpt, keys=["event_id"])
+    _write_drop(spark, d2, src)
+    run_dedup_stream(spark, src, out, ckpt, keys=["event_id"])
+
+    got = sorted(
+        (r.event_id, r.user_id) for r in spark.read.parquet(out).collect()
+    )
+    truth = sorted(
+        (r.event_id, r.user_id)
+        for r in spark.createDataFrame(d1 + d2, SCHEMA)
+        .dropDuplicates(["event_id"])
+        .collect()
+    )
+    assert got == truth
+    assert len(got) == 6  # events 1-6 exactly once each
