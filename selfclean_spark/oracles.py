@@ -1370,3 +1370,27 @@ JOIN sizes sa ON sa.source = shared.source_a
 JOIN sizes sb ON sb.source = shared.source_b
 ORDER BY source_a, source_b
 """
+
+# BPE first-iteration merge candidates (queries.bpe_merge_pairs): same
+# tokenization, same char-pair expansion over the vocabulary, exact
+# integer counts, same deterministic tie-break at the K boundary.
+ORACLES["bpe_merge_pairs"] = """
+WITH toks AS (
+  SELECT unnest(regexp_split_to_array(trim(text), '\\s+')) AS token
+  FROM documents
+), vocab AS (
+  SELECT token, count(*)::BIGINT AS c
+  FROM toks WHERE token <> '' GROUP BY 1
+), chars AS (
+  SELECT list_filter(string_split_regex(token, ''), x -> x <> '') AS ch, c
+  FROM vocab WHERE len(token) >= 2
+), pairs AS (
+  SELECT unnest([ch[i] || ' ' || ch[i+1]
+                 for i in generate_series(1, len(ch)-1)]) AS pair, c
+  FROM chars
+)
+SELECT pair, sum(c)::BIGINT AS n_occurrences
+FROM pairs GROUP BY pair
+ORDER BY n_occurrences DESC, pair ASC
+LIMIT 32
+"""

@@ -2051,6 +2051,45 @@ def source_overlap_pairs(spark, sf_dir):
     )
 
 
+# BPE seed-merge contract: top adjacent-symbol pairs, deterministic
+# boundary (count desc, pair asc)
+BPE_TOPK = 32
+
+
+def bpe_merge_pairs(spark, sf_dir):
+    """First BPE iteration over the corpus (Sennrich et al. 2016): for
+    every adjacent character pair inside a token, the total corpus
+    occurrence count — the statistic that picks the first merge of a
+    BPE tokenizer, reported as the top-K merge candidates.
+
+    100-TB shape: the corpus-sized explode collapses to the VOCABULARY
+    first (token → count, map-side combinable, short heavy-hitter
+    keys), then pairs are expanded from the vocab table only — at web
+    scale that's millions of rows feeding the pair aggregation, not
+    trillions; the top-K is distributed TakeOrderedAndProject."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        F.explode(F.split(F.trim("text"), r"\s+")).alias("token")
+    ).filter(F.col("token") != "")
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("c"))
+    chars = F.filter(F.split("token", ""), lambda x: x != F.lit(""))
+    pair_arr = F.transform(
+        F.sequence(F.lit(1), F.size(chars) - 1),
+        lambda i: F.concat_ws(
+            " ", F.element_at(chars, i), F.element_at(chars, i + 1)
+        ),
+    )
+    pairs = vocab.filter(F.length("token") >= 2).select(
+        F.explode(pair_arr).alias("pair"), "c"
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("c").cast("long").alias("n_occurrences"))
+        .orderBy(F.desc("n_occurrences"), F.asc("pair"))
+        .limit(BPE_TOPK)
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

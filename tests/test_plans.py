@@ -269,3 +269,15 @@ def test_source_overlap_join_shape(spark):
     assert "CartesianProduct" not in plan
     final = plan.split("== Initial Plan ==")[0]
     assert final.count("BroadcastHashJoin") >= 2, final
+
+
+def test_bpe_pairs_expand_from_vocab_not_corpus(spark):
+    """bpe_merge_pairs must collapse to the vocabulary BEFORE the pair
+    explode (two aggregation Exchanges + distributed top-K, never a
+    third corpus-wide shuffle or a global sort)."""
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.bpe_merge_pairs(spark, "/root/testdata/sf0.001"))
+    assert "TakeOrderedAndProject" in plan, plan
+    assert plan.count("Exchange") == 2, plan
+    assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
