@@ -286,3 +286,79 @@ def simhash_near_pairs(
         .select("id_a", "id_b", "hamming")
         .distinct()
     )
+
+
+def repo_fork_pairs(
+    df: DataFrame,
+    repo_col: str = "repo",
+    text_col: str = "content",
+    min_shared: int = 2,
+    file_df_cap: int = 64,
+) -> DataFrame:
+    """Fork/mirror detection at REPOSITORY granularity (the unit the
+    north-rule input table is organized by): for every repo pair, the
+    number of shared exact file contents, plus containment
+    (shared / smaller repo) and Jaccard over their content-digest sets.
+    GitHub-scale corpora are dominated by forks — deduplicating files
+    without this report silently keeps one copy of every fork's
+    UNMODIFIED files while the modified ones slip through; fork pairs
+    with high containment are what a curation pipeline drops wholesale.
+
+    100-TB shape: file contents collapse to sha256 digests at the scan
+    (strings never shuffle); the digest→repo inverted index is
+    count-first df-capped, so a vendored file present in thousands of
+    repos (license texts, generated lockfiles) is dropped, never
+    quadratically joined; per-repo size tables broadcast.
+    """
+    files = df.select(
+        F.col(repo_col).alias("repo"), F.sha2(F.col(text_col), 256).alias("sha")
+    ).distinct()
+    eligible = (
+        files.groupBy("sha")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .filter((F.col("n") >= 2) & (F.col("n") <= file_df_cap))
+        .select("sha")
+    )
+    capped = files.join(eligible, "sha")
+    sizes = files.groupBy("repo").agg(
+        F.count(F.lit(1)).cast("long").alias("n_files")
+    )
+    a = capped.select(F.col("repo").alias("repo_a"), "sha")
+    b = capped.select(F.col("repo").alias("repo_b"), "sha")
+    shared = (
+        a.join(b, "sha")
+        .filter(F.col("repo_a") < F.col("repo_b"))
+        .groupBy("repo_a", "repo_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    sz_a = F.broadcast(
+        sizes.select(F.col("repo").alias("repo_a"), F.col("n_files").alias("n_a"))
+    )
+    sz_b = F.broadcast(
+        sizes.select(F.col("repo").alias("repo_b"), F.col("n_files").alias("n_b"))
+    )
+    return (
+        shared.join(sz_a, "repo_a")
+        .join(sz_b, "repo_b")
+        .select(
+            "repo_a",
+            "repo_b",
+            "n_shared",
+            "n_a",
+            "n_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_a", "n_b").cast("double"),
+                6,
+            ).alias("containment"),
+            F.round(
+                F.col("n_shared").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_shared")).cast(
+                    "double"
+                ),
+                6,
+            ).alias("jaccard"),
+        )
+        .orderBy(F.desc("containment"), "repo_a", "repo_b")
+    )

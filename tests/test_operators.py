@@ -847,3 +847,61 @@ def test_stratified_sample_rescue_equals_plain_window(spark, monkeypatch, tmp_pa
         )
     )
     assert normal == want
+
+
+def test_repo_fork_pairs_planted_fork(spark):
+    """Plant a fork: repo B carries 8 of repo A's 10 files verbatim plus
+    2 of its own; a vendored file shared by EVERY repo is df-capped out.
+    The top containment pair must be (A, B) at 8/10, and the whole
+    report must equal a driver-side brute-force recomputation."""
+    import hashlib
+    from itertools import combinations
+
+    from selfclean_spark.operators.dedup import repo_fork_pairs
+
+    rows = []
+    vendored = "MIT LICENSE boilerplate shared by everyone"
+    repo_files = {}
+    for r in range(6):
+        repo = f"repo_{r}"
+        files = [f"unique content {r}-{i} {'x' * i}" for i in range(10)]
+        repo_files[repo] = files
+        rows += [(repo, f"f{i}.py", "c0", "py", t) for i, t in enumerate(files)]
+        rows.append((repo, "LICENSE", "c0", "txt", vendored))
+    fork = [*repo_files["repo_0"][:8], "fork-only A", "fork-only B"]
+    repo_files["fork_0"] = fork
+    rows += [("fork_0", f"f{i}.py", "c0", "py", t) for i, t in enumerate(fork)]
+    rows.append(("fork_0", "LICENSE", "c0", "txt", vendored))
+    df = spark.createDataFrame(
+        rows, "repo string, path string, commit string, lang string, content string"
+    )
+
+    got = [tuple(r) for r in repo_fork_pairs(df, file_df_cap=6).collect()]
+    assert got, "planted fork not detected"
+    top = got[0]
+    assert (top[0], top[1]) == ("fork_0", "repo_0")
+    assert top[2] == 8 and top[5] == round(8 / 11, 6)  # n_shared, containment
+    # brute force over sha sets with the same cap (vendored LICENSE is
+    # in 7 repos > cap 6 → excluded from sharing, included in sizes)
+    shas = {
+        repo: {hashlib.sha256(t.encode()).hexdigest() for t in files}
+        | {hashlib.sha256(vendored.encode()).hexdigest()}
+        for repo, files in repo_files.items()
+    }
+    df_count = {}
+    for s in set().union(*shas.values()):
+        df_count[s] = sum(s in v for v in shas.values())
+    want = []
+    for ra, rb in combinations(sorted(shas), 2):
+        shared = {
+            s for s in shas[ra] & shas[rb] if 2 <= df_count[s] <= 6
+        }
+        if len(shared) >= 2:
+            na, nb = len(shas[ra]), len(shas[rb])
+            want.append(
+                (ra, rb, len(shared), na, nb,
+                 round(len(shared) / min(na, nb), 6),
+                 round(len(shared) / (na + nb - len(shared)), 6))
+            )
+    want.sort(key=lambda t: (-t[5], t[0], t[1]))
+    assert got == want
