@@ -56,14 +56,20 @@ def test_with_global_rank_persist_released_by_caching_clear(spark):
     sessions waiting on LRU eviction."""
     from selfclean_spark import caching
 
+    def persisted_ids() -> set[int]:
+        jm = spark.sparkContext._jsc.getPersistentRDDs()
+        return {int(k) for k in jm.keySet().toArray()}
+
     caching.clear(blocking=True)
-    jmap = spark.sparkContext._jsc.sc()
-    base = jmap.getPersistentRDDs().size()
+    before = persisted_ids()
     df = spark.range(0, 200).select(
         F.col("id"), (F.xxhash64("id") % 13).alias("s")
     )
     ranked = with_global_rank(df, [F.col("s").asc(), F.col("id").asc()])
     assert ranked.count() == 200
-    assert jmap.getPersistentRDDs().size() > base
+    # id-set, not global count: the ContextCleaner unpersists unrelated
+    # GC'd relations concurrently in a long-lived session
+    created = persisted_ids() - before
+    assert created, "with_global_rank must persist its interior relation"
     caching.clear(blocking=True)
-    assert jmap.getPersistentRDDs().size() <= base
+    assert not (persisted_ids() & created)
