@@ -99,6 +99,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "char_entropy_stats": Q.char_entropy_stats,
         "vocab_topk_tokens": Q.vocab_topk_tokens,
         "source_overlap_pairs": Q.source_overlap_pairs,
+        "repo_fork_pairs": Q.repo_fork_pairs,
         "bpe_merge_pairs": Q.bpe_merge_pairs,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,

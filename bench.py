@@ -54,6 +54,7 @@ HEADLINE = [
     "char_entropy_stats",
     "vocab_topk_tokens",
     "source_overlap_pairs",
+    "repo_fork_pairs",
     "bpe_merge_pairs",
     # temporal joins (r5)
     "events_asof_join",

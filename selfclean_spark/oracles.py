@@ -1394,3 +1394,41 @@ FROM pairs GROUP BY pair
 ORDER BY n_occurrences DESC, pair ASC
 LIMIT 32
 """
+
+# Repo-granularity fork detection (queries.repo_fork_pairs): the twin
+# recomputes the report on RAW STRINGS (text equality), independently
+# checking the Spark side's sha256 digest-collapse rewrite; same
+# planted forks, same 2..64 file-df cap, same >=2 shared floor.
+ORACLES["repo_fork_pairs"] = """
+WITH corpus AS (
+  SELECT source AS repo, text FROM documents
+  UNION ALL
+  SELECT source || '_fork' AS repo, text FROM documents
+  WHERE source IN ('src0', 'src1', 'src2') AND doc_id % 10 < 7
+), files AS (
+  SELECT DISTINCT repo, text FROM corpus
+), eligible AS (
+  SELECT text FROM files GROUP BY text
+  HAVING count(*) BETWEEN 2 AND 64
+), capped AS (
+  SELECT f.repo, f.text FROM files f JOIN eligible e USING (text)
+), sizes AS (
+  SELECT repo, count(*)::BIGINT AS n_files FROM files GROUP BY repo
+), shared AS (
+  SELECT a.repo AS repo_a, b.repo AS repo_b, count(*)::BIGINT AS n_shared
+  FROM capped a JOIN capped b USING (text)
+  WHERE a.repo < b.repo
+  GROUP BY 1, 2
+  HAVING count(*) >= 2
+)
+SELECT repo_a, repo_b, n_shared,
+       sa.n_files AS n_a, sb.n_files AS n_b,
+       round(n_shared::DOUBLE / least(sa.n_files, sb.n_files), 6)
+         AS containment,
+       round(n_shared::DOUBLE / (sa.n_files + sb.n_files - n_shared), 6)
+         AS jaccard
+FROM shared
+JOIN sizes sa ON sa.repo = shared.repo_a
+JOIN sizes sb ON sb.repo = shared.repo_b
+ORDER BY containment DESC, repo_a, repo_b
+"""

@@ -2090,6 +2090,33 @@ def bpe_merge_pairs(spark, sf_dir):
     )
 
 
+# repo_fork planting: these sources get a planted fork repo carrying
+# the 70% of their files where doc_id % 10 < 7
+FORK_SOURCES = ("src0", "src1", "src2")
+
+
+def repo_fork_pairs(spark, sf_dir):
+    """Fork/mirror detection at repository granularity on a corpus
+    with planted forks (the natural testdata has no cross-source exact
+    duplicate, so without planting the query proves nothing): three
+    sources each get a fork repo holding a deterministic 70% of their
+    files.  Expected output is exactly the three (src, src_fork) pairs
+    with containment 1.0 — and the DuckDB twin recomputes the whole
+    report on RAW STRINGS, cross-checking the operator's
+    digest-collapse rewrite (strings never shuffle on the Spark side;
+    see ``operators.dedup.repo_fork_pairs`` for the 100-TB shape:
+    sha256 at the scan, count-first df-capped inverted index,
+    broadcast size tables)."""
+    d = _t(spark, sf_dir, "documents")
+    base = d.select(F.col("source").alias("repo"), "text")
+    forks = d.filter(
+        F.col("source").isin(*FORK_SOURCES) & (F.col("doc_id") % 10 < 7)
+    ).select(F.concat(F.col("source"), F.lit("_fork")).alias("repo"), "text")
+    return D.repo_fork_pairs(
+        base.unionByName(forks), repo_col="repo", text_col="text"
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is
