@@ -101,6 +101,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_overlap_pairs": Q.source_overlap_pairs,
         "repo_fork_pairs": Q.repo_fork_pairs,
         "bpe_merge_pairs": Q.bpe_merge_pairs,
+        "export_shard_plan": Q.export_shard_plan,
+        "dedup_method_agreement": Q.dedup_method_agreement,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

@@ -56,6 +56,8 @@ HEADLINE = [
     "source_overlap_pairs",
     "repo_fork_pairs",
     "bpe_merge_pairs",
+    "export_shard_plan",
+    "dedup_method_agreement",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

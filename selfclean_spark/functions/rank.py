@@ -70,3 +70,70 @@ def with_global_rank(
         .withColumn(rank_col, (F.col("_offset") + F.col("_local")).cast("long"))
         .drop("_pid", "_local", "_offset")
     )
+
+
+def with_global_cumsum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    cumsum_col: str = "cumsum",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add an INCLUSIVE global running sum of ``value_col`` ordered by
+    ``order_cols`` — two-pass like ``with_global_rank`` (range-partition
+    + per-partition SUM offsets collected driver-side, #partitions
+    rows), never a single-partition window.  This is the kernel behind
+    deterministic token-budget sharding: at 10^12 rows a ``sum() OVER
+    (ORDER BY …)`` with no PARTITION BY would serialize the whole
+    corpus through one task.
+
+    Pass 2 is an Arrow ``mapInPandas`` running sum over the
+    already-sorted partitions, NOT a ``Window.partitionBy(_pid)``: the
+    window's required clustering would force Spark to insert a SECOND
+    full-corpus Exchange (hashpartitioning on ``_pid``) right after the
+    range shuffle — per-partition sequential accumulation is the one
+    place imperative per-partition code beats the declarative plan, and
+    the vectorized pandas ``cumsum`` keeps it Arrow-batched.
+    """
+    import pandas as pd
+    from pyspark.sql.types import LongType, StructField, StructType
+
+    from selfclean_spark import caching
+
+    spark = df.sparkSession
+    if num_partitions is None:
+        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    n_parts = max(1, min(num_partitions, 2000))
+    sorted_df = caching.register_persist(
+        df.repartitionByRange(n_parts, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    sums = sorted_df.groupBy("_pid").agg(
+        F.sum(value_col).cast("long").alias("_s")
+    ).collect()
+    offsets = {}
+    running = 0
+    for row in sorted(sums, key=lambda r: r["_pid"]):
+        offsets[row["_pid"]] = running
+        running += row["_s"]
+    offsets_b = spark.sparkContext.broadcast(offsets)
+    out_schema = StructType(
+        sorted_df.schema.fields + [StructField(cumsum_col, LongType(), False)]
+    )
+
+    def _cumsum(batches):
+        run = None
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            if run is None:
+                run = int(offsets_b.value[int(pdf["_pid"].iloc[0])])
+            cs = pdf[value_col].astype("int64").cumsum() + run
+            run = int(cs.iloc[-1])
+            pdf = pdf.copy()
+            pdf[cumsum_col] = cs.astype("int64")
+            yield pdf
+
+    return sorted_df.mapInPandas(_cumsum, out_schema).drop("_pid")

@@ -1432,3 +1432,93 @@ JOIN sizes sa ON sa.repo = shared.repo_a
 JOIN sizes sb ON sb.repo = shared.repo_b
 ORDER BY containment DESC, repo_a, repo_b
 """
+
+# Deterministic token-budget shard manifest (queries.export_shard_plan):
+# the twin computes the global running sum with a plain window cumsum —
+# independently checking the Spark side's two-pass partition-offset
+# rewrite.  Integer arithmetic end-to-end.
+ORACLES["export_shard_plan"] = """
+WITH t AS (
+  SELECT source, doc_id,
+         len(regexp_split_to_array(trim(text), '\\s+'))::BIGINT AS n_tokens
+  FROM documents
+), c AS (
+  SELECT n_tokens,
+         (sum(n_tokens) OVER (ORDER BY source, doc_id
+            ROWS UNBOUNDED PRECEDING))::BIGINT - n_tokens AS start
+  FROM t
+)
+SELECT (start // 2048)::BIGINT AS shard_id,
+       count(*)::BIGINT AS n_docs,
+       sum(n_tokens)::BIGINT AS n_tokens,
+       min(start)::BIGINT AS start_offset
+FROM c
+GROUP BY 1
+ORDER BY 1
+"""
+
+# Method-ablation agreement (queries.dedup_method_agreement): composes
+# the four independent twins — exact md5 self-join, the HUGEINT
+# MinHash-verified and SimHash recomputes, the string-shingle Jaccard
+# index — into one flag table, cross-checking all four engines at once.
+# The corpus carries the standard 20 planted clones (exact_dup_groups'
+# planting) so the exact leg is non-vacuous; each embedded twin is
+# re-pointed from the `documents` view to the planted CTE.
+
+
+def _on_planted(sql: str) -> str:
+    import re
+
+    return re.sub(r"\bdocuments\b", "planted", sql)
+
+
+ORACLES["dedup_method_agreement"] = (
+    """
+WITH planted AS (
+  SELECT doc_id, text FROM documents
+  UNION ALL
+  SELECT doc_id + 1000000, text FROM documents WHERE doc_id < 20
+), ex AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b
+  FROM planted a JOIN planted b
+    ON md5(a.text) = md5(b.text) AND a.doc_id < b.doc_id
+), mh AS (
+"""
+    + _on_planted(ORACLES["minhash_verified_pairs"])
+    + """
+), sh AS (
+"""
+    + _on_planted(ORACLES["simhash_near_pairs"])
+    + """
+), ng AS (
+"""
+    + _on_planted(ORACLES["ngram_jaccard_pairs"])
+    + """
+), allp AS (
+  SELECT id_a, id_b FROM ex UNION
+  SELECT id_a, id_b FROM mh UNION
+  SELECT id_a, id_b FROM sh UNION
+  SELECT id_a, id_b FROM ng
+), flags AS (
+  SELECT p.id_a, p.id_b,
+         e.ea IS NOT NULL AS in_exact,
+         m.ea IS NOT NULL AS in_minhash,
+         s.ea IS NOT NULL AS in_simhash,
+         n.ea IS NOT NULL AS in_ngram
+  FROM allp p
+  LEFT JOIN (SELECT DISTINCT id_a AS ea, id_b AS eb FROM ex) e
+    ON e.ea = p.id_a AND e.eb = p.id_b
+  LEFT JOIN (SELECT DISTINCT id_a AS ea, id_b AS eb FROM mh) m
+    ON m.ea = p.id_a AND m.eb = p.id_b
+  LEFT JOIN (SELECT DISTINCT id_a AS ea, id_b AS eb FROM sh) s
+    ON s.ea = p.id_a AND s.eb = p.id_b
+  LEFT JOIN (SELECT DISTINCT id_a AS ea, id_b AS eb FROM ng) n
+    ON n.ea = p.id_a AND n.eb = p.id_b
+)
+SELECT in_exact, in_minhash, in_simhash, in_ngram,
+       count(*)::BIGINT AS n_pairs
+FROM flags
+GROUP BY 1, 2, 3, 4
+ORDER BY 1, 2, 3, 4
+"""
+)

@@ -191,7 +191,13 @@ def ngram_jaccard_pairs(spark, sf_dir):
     testdata scale equals plain exact Jaccard because no shingle hits
     the cap); jaccard = |∩| / |∪|; τ = 0.1.
     """
-    d = _t(spark, sf_dir, "documents")
+    return _ngram_pairs(_t(spark, sf_dir, "documents"))
+
+
+def _ngram_pairs(d: DataFrame) -> DataFrame:
+    """Body of :func:`ngram_jaccard_pairs` over an arbitrary corpus
+    DataFrame — shared with :func:`dedup_method_agreement`, which runs
+    it on a planted corpus."""
     toks = d.select(
         "doc_id", F.split(F.trim("text"), r"\s+").alias("t")
     ).filter(F.size("t") >= 3)  # sequence(1, n-2) reverses when n < 3
@@ -2114,6 +2120,111 @@ def repo_fork_pairs(spark, sf_dir):
     ).select(F.concat(F.col("source"), F.lit("_fork")).alias("repo"), "text")
     return D.repo_fork_pairs(
         base.unionByName(forks), repo_col="repo", text_col="text"
+    )
+
+
+# Export-shard contract: token budget per shard; docs are assigned by
+# the shard containing their START offset in the global (source,
+# doc_id) order — the standard deterministic split (a doc may spill
+# over its shard's budget, never be cut)
+SHARD_TOKENS = 2048
+
+
+def export_shard_plan(spark, sf_dir):
+    """Deterministic token-budget sharding for corpus export (the
+    webdataset/Megatron shard manifest): docs in global (source,
+    doc_id) order are packed into shards of ``SHARD_TOKENS`` whitespace
+    tokens; a doc belongs to the shard its starting token offset falls
+    in.  Per shard: doc count, token count, starting offset.
+
+    100-TB shape: the global running sum comes from
+    ``functions.rank.with_global_cumsum`` — range-partition + collected
+    per-partition sums (#partitions rows on the driver), NOT a
+    single-partition ``sum() OVER (ORDER BY …)``; the shard aggregate
+    is map-side combinable on an already range-partitioned key, and
+    the manifest is #shards rows.  Integer arithmetic end-to-end —
+    bit-exact against the window-cumsum DuckDB twin."""
+    from selfclean_spark.functions.rank import with_global_cumsum
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source",
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("long").alias("n_tokens"),
+    )
+    cum = with_global_cumsum(
+        toks, [F.col("source").asc(), F.col("doc_id").asc()], "n_tokens"
+    ).withColumn("start", F.col("cumsum") - F.col("n_tokens"))
+    return (
+        cum.withColumn(
+            "shard_id", F.floor(F.col("start") / F.lit(SHARD_TOKENS)).cast("long")
+        )
+        .groupBy("shard_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.min("start").cast("long").alias("start_offset"),
+        )
+        .orderBy("shard_id")
+    )
+
+
+def dedup_method_agreement(spark, sf_dir):
+    """Method-ablation consensus report — the curation artifact that
+    justifies threshold choices: every candidate near-dup pair found by
+    ANY of the four dedup surfaces (exact md5, MinHash-LSH verified
+    Jaccard τ≥0.5, SimHash hamming≤8, token-3-gram Jaccard τ≥0.1),
+    counted by the exact combination of methods that found it.
+
+    Oracle-checked by COMPOSING the four independent DuckDB twins
+    (exact self-join on md5, the HUGEINT MinHash/SimHash recomputes,
+    the string-shingle Jaccard index) into one flag table — so the
+    agreement counts cross-check all four engines at once.
+
+    The corpus carries the standard 20 planted exact clones (doc_id +
+    10^6 — same planting as ``exact_dup_groups``) so the exact leg is
+    non-vacuous: clone pairs must show up in ALL FOUR methods, natural
+    near-dups in the approximate three only.
+
+    100-TB shape: each leg is the already-audited capped pipeline
+    (digest-only exact join, single cached band shuffle, Manku-blocked
+    SimHash, df-capped inverted index); the final aggregate is over
+    pair keys only (16 B/row) and the method-combination rollup is 16
+    rows."""
+    base = _t(spark, sf_dir, "documents")
+    d = base.unionByName(
+        base.filter(F.col("doc_id") < 20).withColumn(
+            "doc_id", F.col("doc_id") + 1_000_000
+        )
+    )
+    exact = cand_ops.exact_duplicate_pairs(
+        d.select(F.col("doc_id").alias("id"), F.md5("text").alias("content_sha"))
+    ).select("id_a", "id_b")
+    mh = (
+        D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+        .filter(F.col("jaccard") >= DOCS_CFG.jaccard_threshold)
+        .select("id_a", "id_b")
+    )
+    sh = D.simhash_near_pairs(
+        d, "doc_id", "text", max_hamming=8, cfg=DOCS_CFG.signature
+    ).select("id_a", "id_b")
+    ng = _ngram_pairs(d).select("id_a", "id_b")
+    tagged = (
+        exact.withColumn("m", F.lit("exact"))
+        .unionByName(mh.withColumn("m", F.lit("minhash")))
+        .unionByName(sh.withColumn("m", F.lit("simhash")))
+        .unionByName(ng.withColumn("m", F.lit("ngram")))
+    )
+    flags = tagged.groupBy("id_a", "id_b").agg(
+        F.max(F.col("m") == "exact").alias("in_exact"),
+        F.max(F.col("m") == "minhash").alias("in_minhash"),
+        F.max(F.col("m") == "simhash").alias("in_simhash"),
+        F.max(F.col("m") == "ngram").alias("in_ngram"),
+    )
+    return (
+        flags.groupBy("in_exact", "in_minhash", "in_simhash", "in_ngram")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("in_exact", "in_minhash", "in_simhash", "in_ngram")
     )
 
 

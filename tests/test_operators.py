@@ -915,3 +915,31 @@ def test_repo_fork_pairs_planted_fork(spark):
             )
     want.sort(key=lambda t: (-t[5], t[0], t[1]))
     assert got == want
+
+
+def test_export_shard_plan_invariants(spark):
+    """Shard manifest invariants: offsets are the exclusive prefix sums
+    of the shard token counts' preceding docs, shard ids start at 0 and
+    are dense, and totals are conserved."""
+    from selfclean_spark import queries as Q
+    from selfclean_spark.queries import SHARD_TOKENS
+
+    rows = sorted(
+        Q.export_shard_plan(spark, "/root/testdata/sf0.001").collect(),
+        key=lambda r: r.shard_id,
+    )
+    assert rows[0].shard_id == 0 and rows[0].start_offset == 0
+    total = sum(r.n_tokens for r in rows)
+    d = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    n_tok = d.select(
+        F.sum(F.size(F.split(F.trim("text"), r"\s+"))).alias("s")
+    ).collect()[0].s
+    assert total == n_tok
+    for prev, cur in zip(rows, rows[1:]):
+        # dense ids; each shard starts where a doc starts, inside the
+        # shard's token window
+        assert cur.shard_id == prev.shard_id + 1
+        assert cur.start_offset >= cur.shard_id * SHARD_TOKENS
+        assert cur.start_offset < (cur.shard_id + 1) * SHARD_TOKENS
+        # contiguity: previous shard's tokens end exactly at this start
+        assert cur.start_offset == prev.start_offset + prev.n_tokens

@@ -281,3 +281,27 @@ def test_bpe_pairs_expand_from_vocab_not_corpus(spark):
     assert "TakeOrderedAndProject" in plan, plan
     assert plan.count("Exchange") == 2, plan
     assert "Sort " not in plan.replace("TakeOrderedAndProject", ""), plan
+
+
+def test_export_shard_plan_exchange_budget(spark):
+    """export_shard_plan's physical plan: the corpus crosses exactly
+    ONE range Exchange (the two-pass cumsum's partitioning, persisted);
+    pass 2 is the Arrow MapInPandas running sum — NO Window node at
+    all, so neither a single-partition global cumsum nor the second
+    full-corpus hashpartitioning(_pid) Exchange a partitioned window
+    would force.  The only other exchanges move shard-level rows
+    (partial-agg output / final sort)."""
+    from selfclean_spark import caching
+    from selfclean_spark import queries as Q
+
+    caching.clear(blocking=True)
+    df = Q.export_shard_plan(spark, "/root/testdata/sf0.001")
+    plan = _plan(df)
+    assert "CartesianProduct" not in plan
+    assert "MapInPandas" in plan, plan
+    assert "Window" not in plan, plan
+    assert "hashpartitioning(_pid" not in plan, plan
+    # corpus-level exchange: the cumsum's range partitioning; the
+    # output sort's range exchange rides shard-count rows only
+    assert "Exchange rangepartitioning(source" in plan, plan
+    caching.clear(blocking=True)

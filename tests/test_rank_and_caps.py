@@ -73,3 +73,22 @@ def test_with_global_rank_persist_released_by_caching_clear(spark):
     assert created, "with_global_rank must persist its interior relation"
     caching.clear(blocking=True)
     assert not (persisted_ids() & created)
+
+
+def test_with_global_cumsum_matches_single_partition_window(spark):
+    """Two-pass partition-offset cumsum == the single-partition window
+    cumsum it replaces, on a skewed value column."""
+    from selfclean_spark.functions.rank import with_global_cumsum
+
+    df = spark.range(0, 500).select(
+        F.col("id"), (F.xxhash64("id") % 97 + 100).alias("v")
+    )
+    got = {
+        r.id: r.cumsum
+        for r in with_global_cumsum(df, [F.col("id").asc()], "v").collect()
+    }
+    rows = sorted(df.collect(), key=lambda r: r.id)
+    running = 0
+    for r in rows:
+        running += r.v
+        assert got[r.id] == running
