@@ -103,6 +103,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bpe_merge_pairs": Q.bpe_merge_pairs,
         "export_shard_plan": Q.export_shard_plan,
         "dedup_method_agreement": Q.dedup_method_agreement,
+        "unimax_epoch_plan": Q.unimax_epoch_plan,
+        "dedup_cluster_histogram": Q.dedup_cluster_histogram,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

@@ -58,6 +58,8 @@ HEADLINE = [
     "bpe_merge_pairs",
     "export_shard_plan",
     "dedup_method_agreement",
+    "unimax_epoch_plan",
+    "dedup_cluster_histogram",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

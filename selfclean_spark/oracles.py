@@ -1522,3 +1522,61 @@ GROUP BY 1, 2, 3, 4
 ORDER BY 1, 2, 3, 4
 """
 )
+
+# UniMax epoch allocation (queries.unimax_epoch_plan): exact integer
+# water-filling — the saturated-set selection is int64 comparisons on
+# both sides; only the final water level is a float64 division.  Same
+# planted 1..20x source-size skew (numeric suffix + 1).
+ORACLES["unimax_epoch_plan"] = """
+WITH s AS (
+  SELECT source,
+         (sum(len(regexp_split_to_array(trim(text), '\\s+')))
+          * (CAST(substr(source, 4) AS BIGINT) + 1))::BIGINT AS n_tokens
+  FROM documents GROUP BY 1
+), tot AS (
+  SELECT (3 * sum(n_tokens) // 2)::BIGINT AS budget,
+         count(*)::BIGINT AS m
+  FROM s
+), caps AS (
+  SELECT source, n_tokens, (2 * n_tokens)::BIGINT AS cap,
+         row_number() OVER (ORDER BY n_tokens, source) AS j,
+         (sum(2 * n_tokens) OVER (ORDER BY n_tokens, source
+            ROWS UNBOUNDED PRECEDING))::BIGINT AS cum
+  FROM s
+), sat AS (
+  SELECT c.*, t.budget, t.m,
+         c.cap * (t.m - c.j + 1) <= t.budget - (c.cum - c.cap) AS saturated
+  FROM caps c, tot t
+), kk AS (
+  SELECT coalesce(max(j), 0) AS k FROM sat WHERE saturated
+), water AS (
+  SELECT CASE WHEN t.m > kk.k THEN
+           (t.budget - coalesce((SELECT cum FROM sat WHERE j = kk.k), 0))::DOUBLE
+           / (t.m - kk.k)
+         ELSE 0.0 END AS share
+  FROM tot t, kk
+)
+SELECT s2.source, s2.n_tokens, s2.saturated,
+       round(CASE WHEN s2.saturated THEN s2.cap::DOUBLE ELSE w.share END, 6)
+         AS alloc_tokens,
+       round((CASE WHEN s2.saturated THEN s2.cap::DOUBLE ELSE w.share END)
+             / s2.n_tokens, 6) AS epochs
+FROM sat s2, water w
+ORDER BY source
+"""
+
+# Cluster-size histogram (queries.dedup_cluster_histogram): composes
+# the recursive-CTE connected-components twin, then two rollups.
+ORACLES["dedup_cluster_histogram"] = (
+    "WITH comp AS (\n"
+    + ORACLES["minhash_components"]
+    + """
+), sizes AS (
+  SELECT component_id, count(*)::BIGINT AS cluster_size
+  FROM comp GROUP BY 1
+)
+SELECT cluster_size, count(*)::BIGINT AS n_clusters,
+       (cluster_size * count(*))::BIGINT AS n_docs
+FROM sizes GROUP BY 1 ORDER BY 1
+"""
+)

@@ -2228,6 +2228,101 @@ def dedup_method_agreement(spark, sf_dir):
     )
 
 
+# UniMax contract (Chung et al. 2023, "UniMax: Fairer and More
+# Effective Language Sampling"): budget = 1.5× corpus tokens, per-
+# source cap = 2 epochs; source sizes carry a planted 1..20× skew
+# (multiplier = numeric source suffix + 1) because the natural
+# testdata sources are near-equal, which would make the water-filling
+# vacuously all-capped or all-uniform
+UNIMAX_BUDGET_NUM, UNIMAX_BUDGET_DEN = 3, 2
+UNIMAX_EPOCH_CAP = 2
+
+
+def unimax_epoch_plan(spark, sf_dir):
+    """UniMax epoch allocation: distribute a total token budget
+    UNIFORMLY across sources, capping every source at
+    ``UNIMAX_EPOCH_CAP`` epochs of its own data — the published
+    alternative to temperature sampling (``source_mixture_weights``)
+    that never over-repeats small sources.  Exact integer
+    water-filling: sources sorted by capped size; a source saturates
+    iff granting every remaining source at least its cap exceeds the
+    remaining budget — all comparisons in int64, so the
+    saturated-set selection is bit-exact against the DuckDB twin; only
+    the final water-level division is float64 (identical IEEE op both
+    sides).
+
+    100-TB shape: the corpus-sized work is ONE map-side-combinable
+    aggregation (per-source token counts); the m-row water-filling is
+    closed-form driver math like ``auto_cut_flags``' logistic fit —
+    #sources is a bounded collect by construction."""
+    d = _t(spark, sf_dir, "documents")
+    sized = (
+        d.groupBy("source")
+        .agg(
+            (
+                F.sum(F.size(F.split(F.trim("text"), r"\s+")))
+                * (F.substring("source", 4, 16).cast("long") + 1)
+            )
+            .cast("long")
+            .alias("n_tokens")
+        )
+        .collect()
+    )
+    srcs = sorted(sized, key=lambda r: (r.n_tokens, r.source))
+    m = len(srcs)
+    total = sum(r.n_tokens for r in srcs)
+    budget = UNIMAX_BUDGET_NUM * total // UNIMAX_BUDGET_DEN
+    remaining, rows, k = budget, [], 0
+    for j, r in enumerate(srcs):
+        cap = UNIMAX_EPOCH_CAP * r.n_tokens
+        if cap * (m - j) <= remaining:
+            rows.append((r.source, r.n_tokens, True, float(cap)))
+            remaining -= cap
+            k += 1
+        else:
+            break
+    share = float(remaining) / (m - k) if k < m else 0.0
+    for r in srcs[k:]:
+        rows.append((r.source, r.n_tokens, False, share))
+    out = spark.createDataFrame(
+        rows, "source string, n_tokens long, saturated boolean, alloc double"
+    )
+    return out.select(
+        "source",
+        "n_tokens",
+        "saturated",
+        F.round("alloc", 6).alias("alloc_tokens"),
+        F.round(F.col("alloc") / F.col("n_tokens"), 6).alias("epochs"),
+    ).orderBy("source")
+
+
+def dedup_cluster_histogram(spark, sf_dir):
+    """Cluster-size distribution of the MinHash near-dup components —
+    the one-page summary a dedup release publishes (how much of the
+    corpus sits in 2-clusters vs giant boilerplate families).
+    Oracle-checked by composing the recursive-CTE components twin.
+
+    Reads the session-cached component table; the histogram is two
+    map-side-combinable aggregations over (component_id) then
+    (cluster_size) — label-sized rows, never content."""
+    comps = _docs_components(spark, sf_dir)
+    sizes = comps.groupBy("component_id").agg(
+        F.count(F.lit(1)).cast("long").alias("cluster_size")
+    )
+    return (
+        sizes.groupBy("cluster_size")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_clusters"))
+        .select(
+            "cluster_size",
+            "n_clusters",
+            (F.col("cluster_size") * F.col("n_clusters"))
+            .cast("long")
+            .alias("n_docs"),
+        )
+        .orderBy("cluster_size")
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

@@ -943,3 +943,32 @@ def test_export_shard_plan_invariants(spark):
         assert cur.start_offset < (cur.shard_id + 1) * SHARD_TOKENS
         # contiguity: previous shard's tokens end exactly at this start
         assert cur.start_offset == prev.start_offset + prev.n_tokens
+
+
+def test_unimax_epoch_plan_water_filling_invariants(spark):
+    """UniMax allocation: saturated sources get exactly the epoch cap,
+    unsaturated sources share one uniform water level that is BELOW the
+    cap, and the total allocation equals the budget."""
+    from selfclean_spark import queries as Q
+    from selfclean_spark.queries import (
+        UNIMAX_BUDGET_DEN,
+        UNIMAX_BUDGET_NUM,
+        UNIMAX_EPOCH_CAP,
+    )
+
+    rows = Q.unimax_epoch_plan(spark, "/root/testdata/sf0.001").collect()
+    assert len(rows) == 20
+    sat = [r for r in rows if r.saturated]
+    unsat = [r for r in rows if not r.saturated]
+    assert sat and unsat, "planted skew must make both branches non-empty"
+    for r in sat:
+        assert r.epochs == UNIMAX_EPOCH_CAP
+    levels = {r.alloc_tokens for r in unsat}
+    assert len(levels) == 1, levels
+    assert all(r.epochs < UNIMAX_EPOCH_CAP for r in unsat)
+    total = sum(r.n_tokens for r in rows)
+    budget = UNIMAX_BUDGET_NUM * total // UNIMAX_BUDGET_DEN
+    assert sum(r.alloc_tokens for r in rows) == pytest.approx(budget, rel=1e-9)
+    # small sources saturate first: every saturated source is smaller
+    # than every unsaturated one
+    assert max(r.n_tokens for r in sat) <= min(r.n_tokens for r in unsat)
