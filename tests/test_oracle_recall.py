@@ -303,3 +303,47 @@ def test_lsh_randomized_differential(spark, corpus_seed, cfg_seed):
         )
     finally:
         caching.unpersist_all()
+
+
+@pytest.mark.parametrize("corpus_seed", [31, 32, 33])
+@pytest.mark.parametrize("max_h", [3, 8])
+def test_simhash_randomized_differential(spark, corpus_seed, max_h):
+    """SimHash Manku blocking is EXACT within its radius when no block
+    is capped: on seeded random corpora the pair set must equal the
+    brute-force popcount-over-all-pairs answer — both directions (no
+    false positive, no missed pair), at two radii."""
+    from selfclean_spark.config import SignatureConfig
+    from selfclean_spark.operators import dedup as D
+    from selfclean_spark.operators import signatures as sig_ops
+
+    rows = _random_corpus(corpus_seed)
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    sigs = {
+        r.id: r.simhash & (2**64 - 1)
+        for r in sig_ops.compute_signatures(
+            df.select(
+                F.col("doc_id").alias("id"),
+                F.col("text").alias("content"),
+                F.sha2("text", 256).alias("content_sha"),
+            ),
+            SignatureConfig(),
+        ).collect()
+    }
+    ids = sorted(sigs)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1 :]
+        if bin(sigs[a] ^ sigs[b]).count("1") <= max_h
+    }
+    got = {
+        (r.id_a, r.id_b)
+        for r in D.simhash_near_pairs(
+            df, "doc_id", "text", max_hamming=max_h, block_cap=10**6
+        ).collect()
+    }
+    assert got == brute, (
+        f"seed={corpus_seed} h={max_h}: "
+        f"missed={sorted(brute - got)[:5]} extra={sorted(got - brute)[:5]}"
+    )
+    assert brute, "corpus must contain at least one in-radius pair"
