@@ -235,8 +235,6 @@ def simhash_near_pairs(
     the near-dup sketch join.
     """
     cfg = cfg or SignatureConfig()
-    if n_tables is None:
-        n_tables = max_hamming + 1
     std = _std(df, id_col, text_col, fanout=True)
     # simhash-only kernel: skips MinHash-128 (and the sha projection —
     # neither is consumed by this operator)
@@ -247,6 +245,25 @@ def simhash_near_pairs(
     sigs = caching.register_persist(
         sig_ops.compute_simhash(std, cfg).persist(StorageLevel.MEMORY_AND_DISK)
     )
+    return simhash_pairs_from_sigs(sigs, max_hamming, n_tables, block_cap)
+
+
+def simhash_pairs_from_sigs(
+    sigs: DataFrame,
+    max_hamming: int = 8,
+    n_tables: int | None = None,
+    block_cap: int = 2_000,
+) -> DataFrame:
+    """Manku block-join over an EXISTING (id, simhash) relation — the
+    body of :func:`simhash_near_pairs`, factored out so callers that
+    already hold a persisted signature table (e.g.
+    ``queries.dedup_method_agreement``, whose MinHash signature table
+    carries the simhash column from the same sketch pass) never pay a
+    second Python sketch scan of the corpus.  ``sigs`` should already
+    be persisted by the caller: the block table feeds the size-count,
+    the capping join, and both pair sides."""
+    if n_tables is None:
+        n_tables = max_hamming + 1
     width = 64 // n_tables
     blocks = sigs.select(
         "id",

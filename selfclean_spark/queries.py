@@ -2197,16 +2197,22 @@ def dedup_method_agreement(spark, sf_dir):
             "doc_id", F.col("doc_id") + 1_000_000
         )
     )
+    # ONE sketch pass: the persisted MinHash signature table carries
+    # content_sha and simhash from the same scan, so the exact and
+    # SimHash legs ride it instead of re-scanning the corpus (at 100 TB
+    # that deletes two of the three content passes; the n-gram leg is
+    # native-expression tokenization, no Python)
+    sigs = D.minhash_signatures(d, "doc_id", "text", DOCS_CFG)
     exact = cand_ops.exact_duplicate_pairs(
-        d.select(F.col("doc_id").alias("id"), F.md5("text").alias("content_sha"))
+        sigs.select("id", "content_sha")
     ).select("id_a", "id_b")
     mh = (
-        D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG)
+        D.minhash_lsh_pairs(d, "doc_id", "text", DOCS_CFG, signatures=sigs)
         .filter(F.col("jaccard") >= DOCS_CFG.jaccard_threshold)
         .select("id_a", "id_b")
     )
-    sh = D.simhash_near_pairs(
-        d, "doc_id", "text", max_hamming=8, cfg=DOCS_CFG.signature
+    sh = D.simhash_pairs_from_sigs(
+        sigs.select("id", "simhash"), max_hamming=8
     ).select("id_a", "id_b")
     ng = _ngram_pairs(d).select("id_a", "id_b")
     tagged = (
