@@ -60,6 +60,7 @@ HEADLINE = [
     "dedup_method_agreement",
     "unimax_epoch_plan",
     "dedup_cluster_histogram",
+    "source_novelty_report",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

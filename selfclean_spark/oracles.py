@@ -1580,3 +1580,31 @@ SELECT cluster_size, count(*)::BIGINT AS n_clusters,
 FROM sizes GROUP BY 1 ORDER BY 1
 """
 )
+
+# Ordered-source novelty curve (queries.source_novelty_report): the
+# twin recomputes on RAW STRING grams, cross-checking the Spark side's
+# xxhash64 gram collapse; same tokenization and 3-gram contract.
+ORACLES["source_novelty_report"] = """
+WITH toks AS (
+  SELECT CAST(substr(source, 4) AS BIGINT) AS src_idx, source,
+         regexp_split_to_array(trim(text), '\\s+') AS t
+  FROM documents
+  WHERE len(regexp_split_to_array(trim(text), '\\s+')) >= 3
+), grams AS (
+  SELECT DISTINCT src_idx, source,
+         unnest(list_distinct(list_transform(generate_series(1, len(t)-2),
+                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS g
+  FROM toks
+), firsts AS (
+  SELECT g, min(src_idx) AS first_idx FROM grams GROUP BY 1
+)
+SELECT g2.source,
+       count(*)::BIGINT AS n_grams,
+       sum(CASE WHEN g2.src_idx = f.first_idx THEN 1 ELSE 0 END)::BIGINT
+         AS n_novel,
+       round(sum(CASE WHEN g2.src_idx = f.first_idx THEN 1 ELSE 0 END)
+             / count(*), 6) AS novelty
+FROM grams g2 JOIN firsts f USING (g)
+GROUP BY g2.source, g2.src_idx
+ORDER BY g2.src_idx
+"""

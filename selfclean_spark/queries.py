@@ -2329,6 +2329,58 @@ def dedup_cluster_histogram(spark, sf_dir):
     )
 
 
+def source_novelty_report(spark, sf_dir):
+    """Ordered-source novelty curve: processing sources in a fixed
+    order (numeric suffix), what fraction of each source's distinct
+    token-3-gram vocabulary is FIRST seen there (vs already covered by
+    earlier sources)?  The statistic that ranks crawl dumps / corpus
+    shards by marginal value — diminishing novelty is the stop signal
+    for adding more of a source family.
+
+    100-TB shape: the corpus collapses to distinct (source_idx, gram)
+    rows at the scan (Spark side: 64-bit xxhash64 grams — strings
+    never shuffle; the DuckDB twin recomputes on raw strings,
+    cross-checking the hash-collapse); first-seen is ONE min
+    aggregation per gram (map-side combinable); the per-source rollup
+    joins gram-level rows on the already-shuffled gram key."""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        (F.substring("source", 4, 16).cast("long")).alias("src_idx"),
+        "source",
+        F.split(F.trim("text"), r"\s+").alias("t"),
+    ).filter(F.size("t") >= DUPSPAN_W)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - (DUPSPAN_W - 1)),
+            lambda i: F.xxhash64(
+                F.concat_ws(
+                    " ", *[F.element_at("t", i + k) for k in range(DUPSPAN_W)]
+                )
+            ),
+        )
+    )
+    grams = toks.select(
+        "src_idx", "source", F.explode(gram_arr).alias("g")
+    ).distinct()
+    first = grams.groupBy("g").agg(F.min("src_idx").alias("first_idx"))
+    per_src = (
+        grams.join(first, "g")
+        .groupBy("src_idx", "source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_grams"),
+            F.sum(
+                (F.col("src_idx") == F.col("first_idx")).cast("long")
+            ).alias("n_novel"),
+        )
+    )
+    return per_src.select(
+        "source",
+        "n_grams",
+        "n_novel",
+        F.round(F.col("n_novel") / F.col("n_grams"), 6).alias("novelty"),
+    ).orderBy("src_idx")
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is
