@@ -78,6 +78,7 @@ def with_global_cumsum(
     value_col: str,
     cumsum_col: str = "cumsum",
     num_partitions: int | None = None,
+    impl: str = "window",
 ) -> DataFrame:
     """Add an INCLUSIVE global running sum of ``value_col`` ordered by
     ``order_cols`` — two-pass like ``with_global_rank`` (range-partition
@@ -87,15 +88,26 @@ def with_global_cumsum(
     (ORDER BY …)`` with no PARTITION BY would serialize the whole
     corpus through one task.
 
-    Pass 2 is an Arrow ``mapInPandas`` running sum over the
-    already-sorted partitions, NOT a ``Window.partitionBy(_pid)``: the
-    window's required clustering would force Spark to insert a SECOND
-    full-corpus Exchange (hashpartitioning on ``_pid``) right after the
-    range shuffle — per-partition sequential accumulation is the one
-    place imperative per-partition code beats the declarative plan, and
-    the vectorized pandas ``cumsum`` keeps it Arrow-batched.
+    Two byte-identical pass-2 implementations (fingerprint-equal at 5M
+    and 20M rows; parity pytest):
+
+    - ``impl="window"`` (default): per-partition window keyed by
+      ``_pid`` + broadcast offset join.  Entirely JVM-side, but the
+      window's required clustering makes Spark insert a SECOND
+      full-corpus Exchange (hashpartitioning on ``_pid``) after the
+      range shuffle.  Measured FASTER wherever we can measure
+      (local[32] best-of-2: 1.57 s vs 2.29 s at 5M rows, 3.76 s vs
+      7.21 s at 20M — a local-mode exchange is a memory copy while the
+      Arrow hop costs real CPU).
+    - ``impl="arrow"``: ``mapInPandas`` running sum over the
+      already-sorted partitions — ZERO extra Exchange.  The pick for
+      shuffle-constrained multi-executor clusters, where the second
+      full-corpus exchange is network+disk I/O rather than a local
+      memory copy and the Arrow pass pipelines with the cached scan.
+
+    The A/B and the reasoning live in BENCH/BASELINE.md ("cumsum
+    pass-2").
     """
-    import pandas as pd
     from pyspark.sql.types import LongType, StructField, StructType
 
     from selfclean_spark import caching
@@ -118,6 +130,30 @@ def with_global_cumsum(
     for row in sorted(sums, key=lambda r: r["_pid"]):
         offsets[row["_pid"]] = running
         running += row["_s"]
+
+    if impl == "window":
+        offsets_df = F.broadcast(
+            spark.createDataFrame(
+                [(pid, off) for pid, off in offsets.items()],
+                "_pid int, _offset long",
+            )
+        )
+        w = (
+            Window.partitionBy("_pid")
+            .orderBy(*order_cols)
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return (
+            sorted_df.withColumn("_local", F.sum(value_col).over(w))
+            .join(offsets_df, "_pid")
+            .withColumn(
+                cumsum_col, (F.col("_offset") + F.col("_local")).cast("long")
+            )
+            .drop("_pid", "_local", "_offset")
+        )
+    if impl != "arrow":
+        raise ValueError(f"impl must be 'window' or 'arrow', got {impl!r}")
+
     offsets_b = spark.sparkContext.broadcast(offsets)
     out_schema = StructType(
         sorted_df.schema.fields + [StructField(cumsum_col, LongType(), False)]

@@ -2140,10 +2140,12 @@ def export_shard_plan(spark, sf_dir):
     100-TB shape: the global running sum comes from
     ``functions.rank.with_global_cumsum`` — range-partition + collected
     per-partition sums (#partitions rows on the driver), NOT a
-    single-partition ``sum() OVER (ORDER BY …)``; the shard aggregate
-    is map-side combinable on an already range-partitioned key, and
-    the manifest is #shards rows.  Integer arithmetic end-to-end —
-    bit-exact against the window-cumsum DuckDB twin."""
+    single-partition ``sum() OVER (ORDER BY …)``; pass 2 uses the
+    measured-faster JVM window implementation (the zero-extra-Exchange
+    Arrow twin exists for shuffle-constrained clusters — byte-identical
+    outputs, A/B in BENCH/BASELINE.md); the shard aggregate is map-side
+    combinable, and the manifest is #shards rows.  Integer arithmetic
+    end-to-end — bit-exact against the window-cumsum DuckDB twin."""
     from selfclean_spark.functions.rank import with_global_cumsum
 
     d = _t(spark, sf_dir, "documents")

@@ -284,13 +284,10 @@ def test_bpe_pairs_expand_from_vocab_not_corpus(spark):
 
 
 def test_export_shard_plan_exchange_budget(spark):
-    """export_shard_plan's physical plan: the corpus crosses exactly
-    ONE range Exchange (the two-pass cumsum's partitioning, persisted);
-    pass 2 is the Arrow MapInPandas running sum — NO Window node at
-    all, so neither a single-partition global cumsum nor the second
-    full-corpus hashpartitioning(_pid) Exchange a partitioned window
-    would force.  The only other exchanges move shard-level rows
-    (partial-agg output / final sort)."""
+    """export_shard_plan (default window impl): never a
+    single-partition global cumsum — the Window node must be keyed by
+    ``_pid`` and fed by the broadcast offset join, with the range
+    Exchange as the only order-establishing corpus shuffle."""
     from selfclean_spark import caching
     from selfclean_spark import queries as Q
 
@@ -298,10 +295,30 @@ def test_export_shard_plan_exchange_budget(spark):
     df = Q.export_shard_plan(spark, "/root/testdata/sf0.001")
     plan = _plan(df)
     assert "CartesianProduct" not in plan
+    assert "windowspecdefinition(_pid" in plan, plan
+    assert "Exchange SinglePartition" not in plan, plan
+    assert "Exchange rangepartitioning(source" in plan, plan
+    assert "BroadcastHashJoin" in plan, plan
+    caching.clear(blocking=True)
+
+
+def test_global_cumsum_arrow_impl_zero_extra_exchange(spark):
+    """The Arrow pass-2 twin (the shuffle-constrained-cluster pick):
+    NO Window node and NO hashpartitioning(_pid) Exchange — the corpus
+    crosses only the range Exchange; pass 2 is MapInPandas over the
+    already-sorted persisted partitions."""
+    from selfclean_spark import caching
+    from selfclean_spark.functions.rank import with_global_cumsum
+
+    caching.clear(blocking=True)
+    df = spark.read.parquet("/root/testdata/sf0.001/documents.parquet").select(
+        "source", "doc_id", F.length("text").cast("long").alias("v")
+    )
+    out = with_global_cumsum(
+        df, [F.col("source").asc(), F.col("doc_id").asc()], "v", impl="arrow"
+    )
+    plan = _plan(out)
     assert "MapInPandas" in plan, plan
     assert "Window" not in plan, plan
     assert "hashpartitioning(_pid" not in plan, plan
-    # corpus-level exchange: the cumsum's range partitioning; the
-    # output sort's range exchange rides shard-count rows only
-    assert "Exchange rangepartitioning(source" in plan, plan
     caching.clear(blocking=True)

@@ -75,9 +75,11 @@ def test_with_global_rank_persist_released_by_caching_clear(spark):
     assert not (persisted_ids() & created)
 
 
-def test_with_global_cumsum_matches_single_partition_window(spark):
+@pytest.mark.parametrize("impl", ["window", "arrow"])
+def test_with_global_cumsum_matches_single_partition_window(spark, impl):
     """Two-pass partition-offset cumsum == the single-partition window
-    cumsum it replaces, on a skewed value column."""
+    cumsum it replaces, on a skewed value column — for BOTH pass-2
+    implementations (JVM window and zero-extra-Exchange Arrow)."""
     from selfclean_spark.functions.rank import with_global_cumsum
 
     df = spark.range(0, 500).select(
@@ -85,7 +87,9 @@ def test_with_global_cumsum_matches_single_partition_window(spark):
     )
     got = {
         r.id: r.cumsum
-        for r in with_global_cumsum(df, [F.col("id").asc()], "v").collect()
+        for r in with_global_cumsum(
+            df, [F.col("id").asc()], "v", impl=impl
+        ).collect()
     }
     rows = sorted(df.collect(), key=lambda r: r.id)
     running = 0
