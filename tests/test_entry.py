@@ -203,3 +203,16 @@ def test_substring_confirm_kernel(spark):
         for r in substring_confirm(pairs, docs).collect()
     }
     assert got == {(1, 2): True, (1, 3): False, (1, 4): True}
+
+
+def test_bench_headline_names_exist():
+    """Every bench HEADLINE name must be a registered queries() entry —
+    a renamed query that leaves a stale bench name would otherwise only
+    surface as a driver-round bench crash."""
+    import bench
+
+    import __spark_entry__ as e
+
+    q = set(e.queries())
+    missing = [n for n in bench.HEADLINE if n not in q]
+    assert not missing, missing
