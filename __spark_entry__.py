@@ -106,6 +106,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "unimax_epoch_plan": Q.unimax_epoch_plan,
         "dedup_cluster_histogram": Q.dedup_cluster_histogram,
         "source_novelty_report": Q.source_novelty_report,
+        "label_centroid_outliers": Q.label_centroid_outliers,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

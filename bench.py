@@ -61,6 +61,7 @@ HEADLINE = [
     "unimax_epoch_plan",
     "dedup_cluster_histogram",
     "source_novelty_report",
+    "label_centroid_outliers",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

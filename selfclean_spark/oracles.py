@@ -1608,3 +1608,39 @@ FROM grams g2 JOIN firsts f USING (g)
 GROUP BY g2.source, g2.src_idx
 ORDER BY g2.src_idx
 """
+
+# Per-label embedding outliers (queries.label_centroid_outliers): the
+# twin reproduces the quantize -> integer-exact distance -> rank chain
+# in HUGEINT (the Spark side uses Decimal(38,0)); only the display
+# division is float.
+ORACLES["label_centroid_outliers"] = """
+WITH q AS (
+  SELECT vec_id, label,
+         list_transform(embedding,
+           x -> CAST(round(CAST(x AS DOUBLE) * 1048576.0) AS BIGINT)) AS qv
+  FROM embeddings
+), ex AS (
+  SELECT vec_id, label, gs.i AS pos, qv[gs.i] AS qd
+  FROM q, generate_series(1, 64) gs(i)
+), cent AS (
+  SELECT label, pos, sum(qd)::BIGINT AS sd, count(*)::BIGINT AS n
+  FROM ex GROUP BY 1, 2
+), dist AS (
+  SELECT e.vec_id, e.label, c.n,
+         sum(CAST(e.qd * c.n - c.sd AS HUGEINT)
+             * CAST(e.qd * c.n - c.sd AS HUGEINT)) AS dist2
+  FROM ex e JOIN cent c ON c.label = e.label AND c.pos = e.pos
+  GROUP BY 1, 2, 3
+), ranked AS (
+  SELECT label, vec_id, n, dist2,
+         row_number() OVER (PARTITION BY label
+                            ORDER BY dist2 DESC, vec_id ASC) AS outlier_rank
+  FROM dist
+)
+SELECT label, outlier_rank::BIGINT AS outlier_rank, vec_id,
+       round(CAST(dist2 AS DOUBLE) / CAST(n * n AS DOUBLE)
+             / (1048576.0 * 1048576.0), 6) AS mean_sq_dist
+FROM ranked
+WHERE outlier_rank <= 3
+ORDER BY label, outlier_rank
+"""

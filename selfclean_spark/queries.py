@@ -2383,6 +2383,79 @@ def source_novelty_report(spark, sf_dir):
     ).orderBy("src_idx")
 
 
+# label-outlier contract: 2^20 quantization (the semdedup trick), 2^40
+# is its square for the distance normalization; top-3 per label
+LCO_Q = 1 << 20
+LCO_TOPK = 3
+
+
+def label_centroid_outliers(spark, sf_dir):
+    """Per-label embedding-space outliers — the reference's label-error
+    concept (an item far from its own class in embedding space) at
+    class granularity: for every label, the top-3 vectors by squared
+    distance to the label centroid.
+
+    Exactness: embeddings quantize to int64 (round(x·2^20), the
+    SemDeDup trick) in ONE array lambda; the centroid stays a rational
+    (per-dim integer sum S_d, count n) so the per-vector distance
+    Σ_d (q_d·n − S_d)² is computed in exact integer arithmetic —
+    Decimal(38,0) here, HUGEINT in the DuckDB twin (the squared terms
+    pass 2^63 at sf0.1 class sizes) — making the outlier RANKING
+    bit-exact; only the final mean-squared-distance display value is a
+    float division, identical IEEE ops both sides.
+
+    100-TB shape: explode is (rows × dim) of 24 B; the centroid is one
+    map-side-combinable sum per (label, dim); the distance join reuses
+    the (label, pos) shuffle key; top-k per label is a bounded window.
+
+    Reference anchor: SelfClean's intra-/extra-class distance scoring
+    (selfclean/scores/label_error_score.py) — re-expressed without the
+    N×N matrix."""
+    from pyspark.sql.types import DecimalType
+
+    e = _t(spark, sf_dir, "embeddings")
+    q = e.select(
+        "vec_id",
+        "label",
+        F.transform(
+            "embedding",
+            lambda x: F.round(x.cast("double") * F.lit(float(LCO_Q)))
+            .cast("long"),
+        ).alias("qv"),
+    )
+    ex = q.select("vec_id", "label", F.posexplode("qv").alias("pos", "qd"))
+    cent = ex.groupBy("label", "pos").agg(
+        F.sum("qd").cast("long").alias("sd"),
+        F.count(F.lit(1)).cast("long").alias("n"),
+    )
+    t = (F.col("qd") * F.col("n") - F.col("sd")).cast(DecimalType(38, 0))
+    dist = (
+        ex.join(cent, ["label", "pos"])
+        .withColumn("td2", t * t)
+        .groupBy("vec_id", "label", "n")
+        .agg(F.sum("td2").alias("dist2"))
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("dist2").desc(), F.col("vec_id").asc()
+    )
+    return (
+        dist.withColumn("outlier_rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("outlier_rank") <= LCO_TOPK)
+        .select(
+            "label",
+            "outlier_rank",
+            "vec_id",
+            F.round(
+                F.col("dist2").cast("double")
+                / (F.col("n") * F.col("n")).cast("double")
+                / F.lit(float(LCO_Q) * float(LCO_Q)),
+                6,
+            ).alias("mean_sq_dist"),
+        )
+        .orderBy("label", "outlier_rank")
+    )
+
+
 def multimodal_feature_stats(spark, sf_dir):
     """Multimodal plumbing smoke: deterministic fake media table →
     Arrow feature extraction → per-kind aggregates (decode itself is

@@ -972,3 +972,32 @@ def test_unimax_epoch_plan_water_filling_invariants(spark):
     # small sources saturate first: every saturated source is smaller
     # than every unsaturated one
     assert max(r.n_tokens for r in sat) <= min(r.n_tokens for r in unsat)
+
+
+def test_label_centroid_outliers_planted_far_vector(spark):
+    """A vector planted far from its class centroid must rank as the
+    label's top outlier, and the integer-exact distance chain must
+    survive class sizes where the squared terms pass 2^63 (the
+    Decimal(38,0) claim)."""
+    import numpy as np
+
+    from selfclean_spark import queries as Q
+
+    rng = np.random.default_rng(23)
+    rows = []
+    for i in range(600):  # one big class: n=600 -> t^2 ~ (2*600*2^20)^2 > 2^63
+        v = rng.standard_normal(64) * 0.05
+        rows.append((i, [float(x) for x in v], 0))
+    rows.append((9999, [0.45] * 64, 0))  # planted far outlier
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<float>, label int")
+    import os
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = Q.label_centroid_outliers(spark, d).collect()
+    top = [r for r in got if r.outlier_rank == 1]
+    assert len(top) == 1 and top[0].vec_id == 9999
+    assert top[0].mean_sq_dist > max(
+        r.mean_sq_dist for r in got if r.vec_id != 9999
+    )
