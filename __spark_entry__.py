@@ -107,6 +107,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_cluster_histogram": Q.dedup_cluster_histogram,
         "source_novelty_report": Q.source_novelty_report,
         "label_centroid_outliers": Q.label_centroid_outliers,
+        "kmeans_clusters": Q.kmeans_clusters,
+        "dedup_graph_triangles": Q.dedup_graph_triangles,
+        "secrets_scan": Q.secrets_scan,
+        "source_term_relevance": Q.source_term_relevance,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

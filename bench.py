@@ -62,6 +62,10 @@ HEADLINE = [
     "dedup_cluster_histogram",
     "source_novelty_report",
     "label_centroid_outliers",
+    "kmeans_clusters",
+    "dedup_graph_triangles",
+    "secrets_scan",
+    "source_term_relevance",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

@@ -1001,3 +1001,145 @@ def test_label_centroid_outliers_planted_far_vector(spark):
     assert top[0].mean_sq_dist > max(
         r.mean_sq_dist for r in got if r.vec_id != 9999
     )
+
+
+@pytest.mark.parametrize(
+    "name",
+    [
+        "kmeans_clusters",
+        "dedup_graph_triangles",
+        "secrets_scan",
+        "source_term_relevance",
+    ],
+)
+def test_r5_new_ops_oracle_parity(spark, name):
+    """The r5 additions (2-iteration integer-exact Lloyd, dup-graph
+    triangle counts, planted credential scan, c-TF-IDF source terms)
+    match their DuckDB twins value-for-value at sf0.001 under the
+    driver's sorted-columns protocol."""
+    import duckdb
+
+    import __spark_entry__ as entry_mod
+    from selfclean_spark import caching
+
+    caching.clear()
+    sf = "/root/testdata/sf0.001"
+    sdf = entry_mod.queries()[name](spark, sf)
+    cols = sorted(sdf.columns)
+    got = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in (r[c] for c in cols))
+        for r in sdf.collect()
+    )
+    assert got, "result must be non-vacuous"
+    con = duckdb.connect()
+    for t in ("documents", "embeddings"):
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"
+        )
+    odf = con.execute(entry_mod.oracle_sql()[name]).fetch_df()
+    assert sorted(odf.columns) == cols
+    want = sorted(
+        tuple(round(v, 9) if isinstance(v, float) else v for v in row)
+        for row in odf[cols].itertuples(index=False)
+    )
+    assert got == want
+
+
+def test_kmeans_planted_separated_blobs(spark):
+    """Closed-form k-means check: the 8 seed vectors are 8 well-
+    separated one-hot anchors; every planted copy must land in its
+    anchor's cluster with dist2 == 0, and a jittered point lands in
+    the nearest anchor's cluster with a small positive dist2."""
+    import os
+    import tempfile
+
+    from selfclean_spark import queries as Q
+
+    rows = []
+    for k in range(8):  # seeds: vec_ids 0..7, one-hot on dim k
+        v = [0.0] * 64
+        v[k] = 0.8
+        rows.append((k, v, 0))
+    nxt = 100
+    for k in range(8):  # 5 exact copies of each anchor
+        v = [0.0] * 64
+        v[k] = 0.8
+        for _ in range(5):
+            rows.append((nxt, list(v), 0))
+            nxt += 1
+    jit = [0.0] * 64
+    jit[3] = 0.8
+    jit[10] = 0.01  # tiny off-axis jitter -> still cluster 3
+    rows.append((9000, jit, 0))
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    )
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "embeddings.parquet"))
+        got = {r.vec_id: r for r in Q.kmeans_clusters(spark, d).collect()}
+    assert len(got) == len(rows)
+    # cluster 3's centroid absorbs the jittered member, so its exact
+    # members sit a small nonzero distance off; every other cluster's
+    # members are byte-identical to their centroid
+    for k in range(8):
+        assert got[k].cluster == k
+        if k != 3:
+            assert got[k].dist2 == 0
+        else:
+            assert 0 < got[k].dist2 < 10**8
+    for i, r in got.items():
+        if 100 <= i < 140:
+            anchor = (i - 100) // 5
+            assert r.cluster == anchor, (i, r)
+            assert (r.dist2 == 0) == (anchor != 3), (i, r)
+    assert got[9000].cluster == 3 and 0 < got[9000].dist2 < 10**12
+
+
+def test_dedup_graph_triangles_closed_form(spark):
+    """A 4-clique of token-identical docs: every node has degree 3,
+    participates in C(3,2)=3 triangles, coefficient exactly 1.0; an
+    isolated identical pair has degree 1, zero triangles, coeff 0."""
+    import os
+    import tempfile
+
+    from selfclean_spark import caching, queries as Q
+
+    clique = "alpha beta gamma delta epsilon zeta"
+    pair = "omega psi chi phi upsilon tau"
+    rows = [(i, clique, "en", "s0", len(clique)) for i in range(4)]
+    rows += [(10, pair, "en", "s0", len(pair)), (11, pair, "en", "s0", len(pair))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    caching.clear()
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in Q.dedup_graph_triangles(spark, d).collect()}
+    caching.clear()
+    assert set(got) == {0, 1, 2, 3, 10, 11}
+    for i in range(4):
+        r = got[i]
+        assert (r.degree, r.n_triangles, r.clustering_coeff) == (3, 3, 1.0)
+    for i in (10, 11):
+        r = got[i]
+        assert (r.degree, r.n_triangles, r.clustering_coeff) == (1, 0, 0.0)
+
+
+def test_secrets_scan_counts_closed_form(spark):
+    """The scan finds exactly the planted secrets (organic corpus text
+    contains none): per-kind totals equal the modular plant counts."""
+    from selfclean_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    rows = Q.secrets_scan(spark, sf).collect()
+    n_docs = sum(r.n_docs for r in rows)
+    assert n_docs == 500
+    assert sum(r.n_aws for r in rows) == sum(
+        1 for i in range(500) if i % 17 == 0
+    )
+    assert sum(r.n_token for r in rows) == sum(
+        1 for i in range(500) if i % 23 == 0
+    )
+    assert sum(r.n_privkey for r in rows) == sum(
+        1 for i in range(500) if i % 41 == 0
+    )

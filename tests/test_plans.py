@@ -322,3 +322,41 @@ def test_global_cumsum_arrow_impl_zero_extra_exchange(spark):
     assert "Window" not in plan, plan
     assert "hashpartitioning(_pid" not in plan, plan
     caching.clear(blocking=True)
+
+
+def test_kmeans_plan_big_table_never_shuffled(spark):
+    """kmeans_clusters' 100-TB claim, plan-asserted: the embeddings
+    table is never hash-repartitioned (assignment is a per-row
+    array_min over a broadcast 1-row centroid array — no window, no
+    k-fold expansion); the only hash Exchanges are the tiny
+    (cell, pos) / (cell) centroid-update aggs."""
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.kmeans_clusters(spark, "/root/testdata/sf0.001"))
+    assert "CartesianProduct" not in plan
+    assert "hashpartitioning(vec_id" not in plan, plan
+    assert plan.count("BroadcastNestedLoopJoin") == 2
+    # (cell,pos) stats agg + (cell) rebuild agg — nothing else wide
+    assert plan.count("Exchange hashpartitioning") == 2, plan
+
+
+def test_triangles_plan_no_cartesian(spark):
+    """The triangle enumeration is two equi-joins on edge endpoints —
+    never a CartesianProduct."""
+    from selfclean_spark import caching, queries as Q
+
+    caching.clear()
+    plan = _plan(Q.dedup_graph_triangles(spark, "/root/testdata/sf0.001"))
+    caching.clear()
+    assert "CartesianProduct" not in plan
+
+
+def test_secrets_scan_plan_map_side(spark):
+    """secrets_scan is a single projection scan + per-source rollup:
+    exactly two Exchanges (groupBy(source), output sort) and the
+    regex work is codegen, not a Python UDF."""
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.secrets_scan(spark, "/root/testdata/sf0.001"))
+    assert plan.count("Exchange") == 2, plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
