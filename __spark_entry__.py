@@ -111,6 +111,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dedup_graph_triangles": Q.dedup_graph_triangles,
         "secrets_scan": Q.secrets_scan,
         "source_term_relevance": Q.source_term_relevance,
+        "distinct_token_kmv": Q.distinct_token_kmv,
+        "source_kl_divergence": Q.source_kl_divergence,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

@@ -66,6 +66,8 @@ HEADLINE = [
     "dedup_graph_triangles",
     "secrets_scan",
     "source_term_relevance",
+    "distinct_token_kmv",
+    "source_kl_divergence",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

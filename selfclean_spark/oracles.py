@@ -1790,3 +1790,64 @@ SELECT source, rank, tok, tf, df, score FROM (
 WHERE rank <= 5
 ORDER BY source, rank
 """
+
+# KMV cardinality sketch (queries.distinct_token_kmv): deterministic
+# bottom-k over the 60-bit md5-prefix hash — the k-th order statistic
+# and the estimate division are identical in both engines.
+ORACLES["distinct_token_kmv"] = """
+WITH t AS (
+  SELECT source, regexp_split_to_array(trim(text), '\\s+') AS w
+  FROM documents
+), grams AS (
+  SELECT source, unnest(
+    [w[i] || ' ' || w[i+1] || ' ' || w[i+2]
+     for i in generate_series(1, len(w) - 2)]
+  ) AS gram FROM t
+), hashed AS (
+  SELECT DISTINCT source,
+         ('0x' || substr(md5(gram), 1, 15))::UBIGINT::BIGINT AS h
+  FROM grams
+), exact AS (
+  SELECT source, count(*)::BIGINT AS n_distinct_exact FROM hashed GROUP BY 1
+), hk AS (
+  SELECT source, h AS h_k FROM (
+    SELECT source, h,
+           row_number() OVER (PARTITION BY source ORDER BY h ASC) AS rn
+    FROM hashed) WHERE rn = 256
+), est AS (
+  SELECT e.source, e.n_distinct_exact,
+         CASE WHEN h.h_k IS NULL THEN e.n_distinct_exact::DOUBLE
+              ELSE floor(255.0 * 1152921504606846976.0 / h.h_k::DOUBLE)
+         END AS kmv_estimate
+  FROM exact e LEFT JOIN hk h USING (source)
+)
+SELECT source, n_distinct_exact,
+       kmv_estimate::BIGINT AS kmv_estimate,
+       round(kmv_estimate / n_distinct_exact - 1.0, 4) AS rel_err
+FROM est ORDER BY source
+"""
+
+# Per-source KL divergence (queries.source_kl_divergence): per-token
+# log-ratio quantized to int64 at 1e-6 (the ccnet/dsir trick); the
+# weighted sum is HUGEINT-exact, only the display division is float.
+ORACLES["source_kl_divergence"] = """
+WITH toks AS (
+  SELECT source,
+         unnest(regexp_split_to_array(trim(text), '\\s+')) AS tok
+  FROM documents
+), toks_f AS (SELECT * FROM toks WHERE tok <> ''),
+cs AS (SELECT source, tok, count(*)::BIGINT AS c_s FROM toks_f GROUP BY 1, 2),
+c AS (SELECT tok, sum(c_s)::BIGINT AS c FROM cs GROUP BY 1),
+ts AS (SELECT source, sum(c_s)::BIGINT AS t_s FROM cs GROUP BY 1),
+tot AS (SELECT sum(c_s)::BIGINT AS t FROM cs),
+contrib AS (
+  SELECT cs.source, ts.t_s,
+         cs.c_s * floor(ln((cs.c_s::DOUBLE * tot.t::DOUBLE)
+                           / (c.c::DOUBLE * ts.t_s::DOUBLE))
+                        * 1000000)::BIGINT AS w
+  FROM cs JOIN c USING (tok) JOIN ts USING (source), tot
+)
+SELECT source, t_s AS n_tokens,
+       round(sum(w)::DOUBLE / t_s::DOUBLE / 1000000, 6) AS kl_nats
+FROM contrib GROUP BY 1, 2 ORDER BY source
+"""

@@ -2779,3 +2779,149 @@ def source_term_relevance(spark, sf_dir):
         .select("source", "rank", "tok", "tf", "df", "score")
         .orderBy("source", "rank")
     )
+
+
+# KMV contract: k = 256 minimum 60-bit hash values over distinct
+# token-3-grams (grams scale with corpus size where the synthetic
+# token vocab saturates, so the sketch leg is genuinely exercised);
+# the hash is the first 15 hex chars of md5 (an identical builtin in
+# both engines — the dsir bucket-hash idiom widened to 60 bits so the
+# k-th order statistic is collision-negligible and still < 2^63).
+KMV_K = 256
+KMV_SPACE = float(1 << 60)
+
+
+def distinct_token_kmv(spark, sf_dir):
+    """Per-source distinct 3-gram cardinality: EXACT count next to a
+    KMV (k-minimum-values / bottom-k) sketch estimate — the sketch a
+    100-TB pipeline actually uses for vocabulary sizing, shown against
+    its ground truth.
+
+    KMV: keep the k smallest distinct hash values of the set; with
+    h_k the k-th order statistic on [0, 2^60), the unbiased estimate
+    is (k-1) * 2^60 / h_k (Bar-Yossef et al. 2002).  Deterministic by
+    construction (no RNG: the hash IS the sketch), so the DuckDB twin
+    reproduces it exactly; the only floats are the final estimate
+    division and the error display — identical IEEE ops both sides.
+
+    100-TB shape: this is the point of the operator — EXACT distinct
+    needs a full (source, token)-deduping shuffle of the corpus
+    vocabulary, while the KMV sketch is a bounded (k values/source)
+    map-side-mergeable state; the query computes both to report the
+    sketch's observed error.  (Here the exact leg also feeds the
+    output; the sketch leg's plan is the scale path.)"""
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.split(F.trim("text"), r"\s+").alias("t")
+    ).filter(F.size("t") >= 3)
+    gram_arr = F.array_distinct(
+        F.transform(
+            F.sequence(F.lit(1), F.size("t") - 2),
+            lambda i: F.concat_ws(
+                " ",
+                F.element_at("t", i),
+                F.element_at("t", i + 1),
+                F.element_at("t", i + 2),
+            ),
+        )
+    )
+    grams = toks.select("source", F.explode(gram_arr).alias("gram"))
+    hashed = grams.select(
+        "source",
+        F.conv(F.substring(F.md5("gram"), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    exact = hashed.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_distinct_exact")
+    )
+    w = Window.partitionBy("source").orderBy(F.col("h").asc())
+    hk = (
+        hashed.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == KMV_K)
+        .select("source", F.col("h").alias("h_k"))
+    )
+    est = F.when(
+        F.col("h_k").isNull(), F.col("n_distinct_exact").cast("double")
+    ).otherwise(
+        F.floor(
+            F.lit(float(KMV_K - 1)) * F.lit(KMV_SPACE)
+            / F.col("h_k").cast("double")
+        ).cast("double")
+    )
+    return (
+        exact.join(hk, "source", "left")
+        .withColumn("kmv_estimate", est)
+        .select(
+            "source",
+            "n_distinct_exact",
+            F.col("kmv_estimate").cast("long").alias("kmv_estimate"),
+            F.round(
+                F.col("kmv_estimate") / F.col("n_distinct_exact") - 1.0, 4
+            ).alias("rel_err"),
+        )
+        .orderBy("source")
+    )
+
+
+def source_kl_divergence(spark, sf_dir):
+    """Per-source KL divergence KL(P_source || P_corpus) over unigram
+    token distributions — the drift/mixture diagnostic (which slices
+    are far from the blend they'll be trained into).
+
+    Exactness: the per-token log-ratio is quantized once —
+    floor(ln((c_s·T)/(c·T_s))·10^6) as int64, the ccnet/dsir trick —
+    and the weighted sum Σ c_s·lq is exact integer arithmetic
+    (Decimal(38,0) / HUGEINT); only the final display division is
+    float.
+
+    100-TB shape: one (source, tok) partial-agg shuffle, a token-keyed
+    corpus rollup derived FROM it (no second corpus scan), and a
+    20-row output — no per-doc state at all."""
+    from pyspark.sql.types import DecimalType
+
+    d = _t(spark, sf_dir, "documents")
+    toks = d.select(
+        "source", F.explode(F.split(F.trim("text"), "\\s+")).alias("tok")
+    ).filter(F.col("tok") != "")
+    # the (source, tok) rollup feeds four plan branches (c, ts, tot and
+    # the contribution join) — persist it once (caching-registered)
+    cs = caching.register_persist(
+        toks.groupBy("source", "tok")
+        .agg(F.count(F.lit(1)).cast("long").alias("c_s"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+    )
+    c = cs.groupBy("tok").agg(F.sum("c_s").cast("long").alias("c"))
+    ts = cs.groupBy("source").agg(F.sum("c_s").cast("long").alias("t_s"))
+    tot = cs.agg(F.sum("c_s").cast("long").alias("t"))
+    lq = F.floor(
+        F.log(
+            (F.col("c_s").cast("double") * F.col("t").cast("double"))
+            / (F.col("c").cast("double") * F.col("t_s").cast("double"))
+        )
+        * F.lit(1000000.0)
+    ).cast("long")
+    contrib = (
+        cs.join(c, "tok")
+        .join(ts, "source")
+        .crossJoin(F.broadcast(tot))
+        .withColumn("lq", lq)
+        .withColumn(
+            "w", (F.col("c_s") * F.col("lq")).cast(DecimalType(38, 0))
+        )
+    )
+    return (
+        contrib.groupBy("source", "t_s")
+        .agg(F.sum("w").alias("s"))
+        .select(
+            "source",
+            F.col("t_s").alias("n_tokens"),
+            F.round(
+                F.col("s").cast("double")
+                / F.col("t_s").cast("double")
+                / 1000000.0,
+                6,
+            ).alias("kl_nats"),
+        )
+        .orderBy("source")
+    )

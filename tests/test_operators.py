@@ -1010,6 +1010,8 @@ def test_label_centroid_outliers_planted_far_vector(spark):
         "dedup_graph_triangles",
         "secrets_scan",
         "source_term_relevance",
+        "distinct_token_kmv",
+        "source_kl_divergence",
     ],
 )
 def test_r5_new_ops_oracle_parity(spark, name):
@@ -1143,3 +1145,29 @@ def test_secrets_scan_counts_closed_form(spark):
     assert sum(r.n_privkey for r in rows) == sum(
         1 for i in range(500) if i % 41 == 0
     )
+
+
+def test_kmv_estimate_accuracy_and_kl_nonnegative(spark):
+    """Statistical sanity on the new sketch/divergence surfaces: the
+    KMV bottom-256 estimate lands within 20% of the exact per-source
+    vocabulary (expected sigma ~ 1/sqrt(k-1) ~ 6%), and KL(P_s || P)
+    is non-negative up to the 1e-6 floor-quantization bias, with real
+    positive divergence somewhere."""
+    from selfclean_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    kmv = Q.distinct_token_kmv(spark, sf).collect()
+    assert kmv
+    active = 0
+    for r in kmv:
+        if r.n_distinct_exact >= 256:  # sketch leg active
+            active += 1
+            assert abs(r.rel_err) < 0.20, (r.source, r.rel_err)
+        else:  # exact fallback
+            assert r.kmv_estimate == r.n_distinct_exact
+    assert active == len(kmv), "3-gram vocab must activate the sketch leg"
+    kl = Q.source_kl_divergence(spark, sf).collect()
+    assert kl
+    for r in kl:
+        assert r.kl_nats > -1e-3, (r.source, r.kl_nats)
+    assert max(r.kl_nats for r in kl) > 0
