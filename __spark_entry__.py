@@ -113,6 +113,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_term_relevance": Q.source_term_relevance,
         "distinct_token_kmv": Q.distinct_token_kmv,
         "source_kl_divergence": Q.source_kl_divergence,
+        "lsh_recall_report": Q.lsh_recall_report,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

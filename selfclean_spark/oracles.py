@@ -1851,3 +1851,25 @@ SELECT source, t_s AS n_tokens,
        round(sum(w)::DOUBLE / t_s::DOUBLE / 1000000, 6) AS kl_nats
 FROM contrib GROUP BY 1, 2 ORDER BY source
 """
+
+# LSH recall gate (queries.lsh_recall_report): the twin recomputes the
+# exact truth set per tau and asserts the pipeline found ALL of it
+# (n_found = n_true, recall = 1.0) — a dropped true pair is a hash
+# mismatch, not a silent drift.
+ORACLES["lsh_recall_report"] = f"""
+WITH {_DOCS_PAIR_CTES}, truth AS (
+  SELECT id_a, id_b,
+         round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) AS j
+  FROM common
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE round(n_common::DOUBLE / (sa.n + sb.n - n_common), 6) >= 0.5
+)
+SELECT tau::DOUBLE AS tau,
+       count(*)::BIGINT AS n_true,
+       count(*)::BIGINT AS n_found,
+       round(1.0, 6) AS recall
+FROM truth, (VALUES (0.5), (0.7), (0.9)) taus(tau)
+WHERE j >= tau::DOUBLE
+GROUP BY 1 ORDER BY 1
+"""

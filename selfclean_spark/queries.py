@@ -2925,3 +2925,54 @@ def source_kl_divergence(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# recall-report contract: truth = exact (df-capped) string-shingle
+# Jaccard pairs; found = the production LSH pipeline's verified edges;
+# thresholds swept at these taus
+RECALL_TAUS = (0.5, 0.7, 0.9)
+
+
+def lsh_recall_report(spark, sf_dir):
+    """The north-rule recall gate (dup-pair recall >= 0.99) as a
+    first-class query: sweep tau over {0.5, 0.7, 0.9} and report, per
+    threshold, how many exact-Jaccard true pairs exist and how many
+    the production MinHash-LSH pipeline (DOCS_CFG: 32 bands x 4 rows)
+    found.  The DuckDB twin recomputes the TRUTH set and asserts
+    recall == 1.0, so a banding regression that drops ANY true pair
+    is a driver-visible hash mismatch, not a silent quality drift.
+
+    (At the corpus's weakest tau=0.5 pair the per-pair miss
+    probability of the seeded 128-perm banding is ~5e-8 — recall 1.0
+    is the expected outcome, and minhash_verified_pairs already holds
+    this implicitly; this query makes the number itself reportable.)
+
+    100-TB shape: the truth leg is the df-capped inverted-index join
+    (bounded fan-out by the df-cut); the found leg reuses the session
+    edge cache; the sweep is an explode over 3 literals on an
+    already-tiny pair set."""
+    truth = _ngram_pairs(_t(spark, sf_dir, "documents")).filter(
+        F.col("jaccard") >= RECALL_TAUS[0]
+    )
+    found = _docs_edges(spark, sf_dir).select(
+        "id_a", "id_b", F.lit(1).alias("hit")
+    )
+    joined = truth.join(found, ["id_a", "id_b"], "left").select(
+        "jaccard",
+        F.coalesce("hit", F.lit(0)).alias("hit"),
+        F.explode(
+            F.array(*[F.lit(float(t)) for t in RECALL_TAUS])
+        ).alias("tau"),
+    )
+    return (
+        joined.filter(F.col("jaccard") >= F.col("tau"))
+        .groupBy("tau")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_true"),
+            F.sum("hit").cast("long").alias("n_found"),
+        )
+        .withColumn(
+            "recall", F.round(F.col("n_found") / F.col("n_true"), 6)
+        )
+        .orderBy("tau")
+    )

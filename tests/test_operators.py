@@ -1012,6 +1012,7 @@ def test_label_centroid_outliers_planted_far_vector(spark):
         "source_term_relevance",
         "distinct_token_kmv",
         "source_kl_divergence",
+        "lsh_recall_report",
     ],
 )
 def test_r5_new_ops_oracle_parity(spark, name):
