@@ -114,6 +114,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "distinct_token_kmv": Q.distinct_token_kmv,
         "source_kl_divergence": Q.source_kl_divergence,
         "lsh_recall_report": Q.lsh_recall_report,
+        "media_byte_features": Q.media_byte_features,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

@@ -68,6 +68,7 @@ HEADLINE = [
     "source_term_relevance",
     "distinct_token_kmv",
     "source_kl_divergence",
+    "media_byte_features",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

@@ -1873,3 +1873,31 @@ FROM truth, (VALUES (0.5), (0.7), (0.9)) taus(tau)
 WHERE j >= tau::DOUBLE
 GROUP BY 1 ORDER BY 1
 """
+
+# Arrow multimodal plumbing (queries.media_byte_features): the twin
+# re-derives the identical 64 payload bytes from the md5-hex blocks
+# and recomputes the strided byte sums in pure SQL — the Python
+# kernel's byte math is engine-cross-checked.
+ORACLES["media_byte_features"] = """
+WITH media AS (
+  SELECT doc_id AS id,
+         ['image','audio','video'][(doc_id % 3) + 1] AS kind,
+         md5(doc_id::VARCHAR || ':0') || md5(doc_id::VARCHAR || ':1')
+         || md5(doc_id::VARCHAR || ':2') || md5(doc_id::VARCHAR || ':3') AS hx
+  FROM documents
+), feats AS (
+  SELECT id, kind, d.i AS dim,
+         (('0x' || substr(hx, 2*d.i - 1, 2))::INT
+        + ('0x' || substr(hx, 2*(d.i+16) - 1, 2))::INT
+        + ('0x' || substr(hx, 2*(d.i+32) - 1, 2))::INT
+        + ('0x' || substr(hx, 2*(d.i+48) - 1, 2))::INT)::BIGINT AS f
+  FROM media, generate_series(1, 16) d(i)
+)
+SELECT kind,
+       count(DISTINCT id)::BIGINT AS n_items,
+       count(*)::BIGINT AS n_values,
+       sum(f)::BIGINT AS feat_sum,
+       min(f)::BIGINT AS feat_min,
+       max(f)::BIGINT AS feat_max
+FROM feats GROUP BY 1 ORDER BY 1
+"""

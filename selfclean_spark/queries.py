@@ -2976,3 +2976,22 @@ def lsh_recall_report(spark, sf_dir):
         )
         .orderBy("tau")
     )
+
+
+def media_byte_features(spark, sf_dir):
+    """Oracle-checked multimodal plumbing: binary media payloads
+    (derived deterministically from doc_id via md5+unhex, so both
+    engines hold the SAME 64 bytes) flow through a real Arrow
+    mapInPandas kernel (strided byte summation standing in for
+    decode→embed, same signature and batch shape) into per-kind
+    exact-integer aggregates.  Complements the honestly-stubbed
+    ``multimodal_feature_stats`` (rows-only) by putting the
+    binary-column Arrow path itself on the hard-oracle surface.
+
+    100-TB shape: one map-only Arrow pass over the binary column +
+    a 3-group rollup; no shuffle of payload bytes at all."""
+    from selfclean_spark.sources import multimodal as MM
+
+    d = _t(spark, sf_dir, "documents")
+    media = MM.derive_media_from_docs(d)
+    return MM.byte_feature_stats(media, dim=16)

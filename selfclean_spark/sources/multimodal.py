@@ -157,3 +157,76 @@ def synth_media(spark, n_rows: int = 64, seed: int = 42) -> DataFrame:
             )
         )
     return spark.createDataFrame(rows, MEDIA_SCHEMA)
+
+
+INT_FEATURE_SCHEMA = StructType(
+    [
+        StructField("id", LongType(), False),
+        StructField("kind", StringType(), False),
+        StructField("feature", ArrayType(LongType(), False), False),
+    ]
+)
+
+
+def derive_media_from_docs(docs: DataFrame) -> DataFrame:
+    """Deterministic 64-byte media payloads derived from doc_id (4
+    concatenated md5 blocks, unhexed) — the derivation is pure SQL
+    builtins, so an independent engine can re-derive the SAME bytes
+    and cross-check the Python byte-level kernel downstream."""
+    hx = F.concat(
+        *[
+            F.md5(F.concat_ws(":", F.col("doc_id").cast("string"), F.lit(j)))
+            for j in range(4)
+        ]
+    )
+    kinds = F.array(F.lit("image"), F.lit("audio"), F.lit("video"))
+    return docs.select(
+        F.col("doc_id").alias("id"),
+        F.element_at(kinds, (F.col("doc_id") % 3 + 1).cast("int")).alias(
+            "kind"
+        ),
+        F.unhex(hx).alias("data"),
+    )
+
+
+def byte_feature_stats(media: DataFrame, dim: int = 16) -> DataFrame:
+    """Binary payloads → integer feature vectors via ONE Arrow
+    mapInPandas pass (the real multimodal plumbing: binary column in,
+    fixed-dim feature out, batch-shaped), then per-kind exact-integer
+    aggregates.  The kernel is strided byte summation — a stand-in
+    with the same signature/batching as a decoder+encoder, but exactly
+    recomputable from the hex derivation by the DuckDB twin, making
+    the Arrow plumbing itself hash-oracled."""
+    stride = dim
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = []
+            for d in pdf["data"]:
+                arr = np.frombuffer(bytes(d), dtype=np.uint8)
+                n = (arr.size // stride) * stride
+                feats.append(
+                    arr[:n]
+                    .reshape(-1, stride)
+                    .sum(axis=0, dtype=np.int64)
+                    .tolist()
+                )
+            yield pd.DataFrame(
+                {"id": pdf["id"], "kind": pdf["kind"], "feature": feats}
+            )
+
+    feats = media.select("id", "kind", "data").mapInPandas(
+        batches, schema=INT_FEATURE_SCHEMA
+    )
+    ex = feats.select("id", "kind", F.explode("feature").alias("f"))
+    return (
+        ex.groupBy("kind")
+        .agg(
+            F.countDistinct("id").cast("long").alias("n_items"),
+            F.count(F.lit(1)).cast("long").alias("n_values"),
+            F.sum("f").cast("long").alias("feat_sum"),
+            F.min("f").cast("long").alias("feat_min"),
+            F.max("f").cast("long").alias("feat_max"),
+        )
+        .orderBy("kind")
+    )

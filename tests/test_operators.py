@@ -1013,6 +1013,7 @@ def test_label_centroid_outliers_planted_far_vector(spark):
         "distinct_token_kmv",
         "source_kl_divergence",
         "lsh_recall_report",
+        "media_byte_features",
     ],
 )
 def test_r5_new_ops_oracle_parity(spark, name):

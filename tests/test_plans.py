@@ -360,3 +360,15 @@ def test_secrets_scan_plan_map_side(spark):
     plan = _plan(Q.secrets_scan(spark, "/root/testdata/sf0.001"))
     assert plan.count("Exchange") == 2, plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_media_byte_features_arrow_map_only(spark):
+    """media_byte_features' Arrow claim: the binary payloads ride ONE
+    MapInPandas (Arrow) pass and are never shuffled — the only
+    Exchanges are the 3-group rollup and the output sort."""
+    from selfclean_spark import queries as Q
+
+    plan = _plan(Q.media_byte_features(spark, "/root/testdata/sf0.001"))
+    assert plan.count("MapInPandas") == 1, plan
+    assert "hashpartitioning(data" not in plan
+    assert plan.count("Exchange hashpartitioning") <= 2, plan
