@@ -51,6 +51,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "tpch_q3": Q.tpch_q3,
         "tpch_q5": Q.tpch_q5,
         "tpch_q6": Q.tpch_q6,
+        "tpch_q4": Q.tpch_q4,
+        "tpch_q18": Q.tpch_q18,
         "events_hourly": Q.events_hourly,
         "events_sessions": Q.events_sessions,
         # sketch pipeline — edge-derived outputs are oracle-checked

@@ -82,6 +82,8 @@ HEADLINE = [
     "semdedup_keep",
     # generic OLAP
     "tpch_q1",
+    "tpch_q4",
+    "tpch_q18",
     "tpch_q5",
     "tpch_q6",
     "events_hourly",

@@ -1901,3 +1901,27 @@ SELECT kind,
        max(f)::BIGINT AS feat_max
 FROM feats GROUP BY 1 ORDER BY 1
 """
+
+ORACLES["tpch_q4"] = """
+SELECT o_orderpriority, count(*)::BIGINT AS order_count
+FROM orders
+WHERE o_orderdate >= '1996-07-01' AND o_orderdate < '1997-01-01'
+  AND EXISTS (SELECT 1 FROM lineitem
+              WHERE l_orderkey = o_orderkey AND l_returnflag = 'R')
+GROUP BY 1 ORDER BY 1
+"""
+
+ORACLES["tpch_q18"] = """
+SELECT c_name, c_custkey, o_orderkey,
+       strftime(o_orderdate, '%Y-%m-%d') AS o_orderdate,
+       round(o_totalprice, 2) AS total_price,
+       sum(l_quantity) AS sum_qty
+FROM customer
+JOIN orders ON c_custkey = o_custkey
+JOIN lineitem ON o_orderkey = l_orderkey
+WHERE o_orderkey IN (
+  SELECT l_orderkey FROM lineitem GROUP BY 1 HAVING sum(l_quantity) > 300.0
+)
+GROUP BY 1, 2, 3, 4, 5
+ORDER BY total_price DESC, o_orderkey ASC
+"""

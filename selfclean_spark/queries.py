@@ -2995,3 +2995,68 @@ def media_byte_features(spark, sf_dir):
     d = _t(spark, sf_dir, "documents")
     media = MM.derive_media_from_docs(d)
     return MM.byte_feature_stats(media, dim=16)
+
+
+def tpch_q4(spark, sf_dir):
+    """Order-priority checking — the LEFT SEMI join showcase (TPC-H Q4
+    adapted: this lineitem carries no commit/receipt dates, so the
+    EXISTS predicate is 'has a returned line' l_returnflag = 'R').
+    Catalyst turns the EXISTS into a semi-join that deduplicates the
+    probe side during the join — no distinct, no fan-out; the date
+    filter pushes to the orders scan."""
+    orders = _t(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-07-01"))
+        & (F.col("o_orderdate") < F.lit("1997-01-01"))
+    )
+    li = _t(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+    return (
+        orders.join(
+            li, orders.o_orderkey == li.l_orderkey, "left_semi"
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).cast("long").alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+# q18 contract: large-volume threshold over integral-valued double
+# quantities (sums < 2^53 stay exact), deterministic total order
+TPCH_Q18_MIN_QTY = 300.0
+
+
+def tpch_q18(spark, sf_dir):
+    """Large-volume customers (TPC-H Q18): the two-phase aggregate
+    shape — a HAVING subquery over the fact table reduced FIRST (one
+    map-side-combinable sum per orderkey), its tiny survivor set then
+    semi-joined back before the wide customer/orders join.  At 100 TB
+    the survivor set is what makes this runnable: the big join sees
+    only qualifying orders."""
+    li = _t(spark, sf_dir, "lineitem")
+    big = (
+        li.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > TPCH_Q18_MIN_QTY)
+    )
+    orders = _t(spark, sf_dir, "orders").join(
+        big.select("l_orderkey"),
+        F.col("o_orderkey") == F.col("l_orderkey"),
+        "left_semi",
+    )
+    cust = _t(spark, sf_dir, "customer")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy(
+            "c_name", "c_custkey", "o_orderkey", "o_orderdate", "o_totalprice"
+        )
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .select(
+            "c_name",
+            "c_custkey",
+            "o_orderkey",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("o_orderdate"),
+            F.round("o_totalprice", 2).alias("total_price"),
+            "sum_qty",
+        )
+        .orderBy(F.col("total_price").desc(), F.col("o_orderkey").asc())
+    )
