@@ -1173,3 +1173,83 @@ def test_kmv_estimate_accuracy_and_kl_nonnegative(spark):
     for r in kl:
         assert r.kl_nats > -1e-3, (r.source, r.kl_nats)
     assert max(r.kl_nats for r in kl) > 0
+
+
+def test_triangles_boundary_pair_at_exact_threshold(spark):
+    """j = 49/50 = 0.98 exactly — the boundary pair a float
+    ceil(t*n) prefix would silently drop (IEEE 0.98*50 rounds UP, so
+    naive ceil shortens the prefix by one).  The rational prefix
+    arithmetic must keep it."""
+    import os
+    import tempfile
+
+    from selfclean_spark import caching, queries as Q
+
+    a = " ".join(f"tok{i}" for i in range(50))
+    b = " ".join(f"tok{i}" for i in range(49))  # drops tok49: j = 49/50
+    rows = [(1, a, "en", "s0", len(a)), (2, b, "en", "s0", len(b))]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    caching.clear()
+    with tempfile.TemporaryDirectory() as d:
+        df.write.parquet(os.path.join(d, "documents.parquet"))
+        got = {r.doc_id: r for r in Q.dedup_graph_triangles(spark, d).collect()}
+    caching.clear()
+    assert set(got) == {1, 2}, got
+    assert got[1].degree == 1 and got[2].degree == 1
+
+
+def test_triangles_randomized_differential_vs_naive(spark):
+    """Contracted-graph triangle counting == the naive doc-level
+    enumeration, on randomized corpora with genuine cross-set near-dup
+    structure (tau = 0.8, overlapping random token sets, planted clone
+    families)."""
+    import itertools
+    import os
+    import random
+    import tempfile
+
+    from selfclean_spark.operators import components as comp_ops
+
+    rng = random.Random(97)
+    for trial in range(3):
+        vocab = [f"w{i}" for i in range(14)]
+        rows, sets = [], {}
+        did = 0
+        for _ in range(30):
+            k = rng.randint(8, 12)
+            toks = rng.sample(vocab, k)
+            copies = rng.choice([1, 1, 1, 2, 4])
+            for _ in range(copies):
+                rows.append((did, " ".join(toks)))
+                sets[did] = frozenset(toks)
+                did += 1
+        # naive truth: all-pairs jaccard >= 0.8, then triangle count
+        edges = set()
+        for x, y in itertools.combinations(sorted(sets), 2):
+            i = len(sets[x] & sets[y])
+            u = len(sets[x] | sets[y])
+            if u and i / u >= 0.8:
+                edges.add((x, y))
+        adj = {}
+        for x, y in edges:
+            adj.setdefault(x, set()).add(y)
+            adj.setdefault(y, set()).add(x)
+        want = {}
+        for v, nb in adj.items():
+            deg = len(nb)
+            tri = sum(
+                1 for x, y in itertools.combinations(sorted(nb), 2)
+                if (x, y) in edges
+            )
+            coeff = round(2.0 * tri / (deg * (deg - 1)), 6) if deg >= 2 else 0.0
+            want[v] = (deg, tri, coeff)
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        got = {
+            r.doc_id: (r.degree, r.n_triangles, r.clustering_coeff)
+            for r in comp_ops.contracted_triangle_stats(
+                df, "doc_id", "text", threshold=0.8
+            ).collect()
+        }
+        assert got == want, f"trial {trial}: {len(got)} vs {len(want)}"
