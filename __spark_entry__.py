@@ -117,6 +117,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "source_kl_divergence": Q.source_kl_divergence,
         "lsh_recall_report": Q.lsh_recall_report,
         "media_byte_features": Q.media_byte_features,
+        # code-payload release checks (r5, oracle-checked): sub-file
+        # clone detection (MOSS winnowing + aligned token blocks) and
+        # license / generated-code audits
+        "winnow_fingerprints": Q.winnow_fingerprints,
+        "winnow_clone_pairs": Q.winnow_clone_pairs,
+        "block_clone_pairs": Q.block_clone_pairs,
+        "license_scan": Q.license_scan,
+        "generated_code_flags": Q.generated_code_flags,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

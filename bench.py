@@ -69,6 +69,12 @@ HEADLINE = [
     "distinct_token_kmv",
     "source_kl_divergence",
     "media_byte_features",
+    # code-payload release checks (r5): sub-file clones + audits
+    "winnow_fingerprints",
+    "winnow_clone_pairs",
+    "block_clone_pairs",
+    "license_scan",
+    "generated_code_flags",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

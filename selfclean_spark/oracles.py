@@ -1925,3 +1925,170 @@ WHERE o_orderkey IN (
 GROUP BY 1, 2, 3, 4, 5
 ORDER BY total_price DESC, o_orderkey ASC
 """
+
+# MOSS winnowing (queries.winnow_fingerprints): the k=20 rolling hash
+# (acc*257 + char) % 1e9+7 recomputed bit-exactly with list lambdas;
+# leftmost-min window selection via list_position; (count, xor, min,
+# max) digests pin the exact selected set.
+_WINNOW_SEL = """
+WITH base AS (
+  SELECT doc_id, trim(text) AS s,
+         greatest(length(trim(text)) - 19, 0) AS ng
+  FROM documents
+), hs AS (
+  SELECT doc_id, ng,
+    list_transform(range(1, ng + 1), i ->
+      list_reduce(
+        list_prepend(0::BIGINT,
+          list_transform(range(i, i + 20),
+                         t -> ascii(substr(s, t::INT, 1))::BIGINT)),
+        (acc, c) -> (acc * 257 + c) % 1000000007)) AS h
+  FROM base
+), sel AS (
+  SELECT doc_id, ng, h,
+    CASE WHEN ng > 0 THEN
+      list_distinct(list_transform(
+        range(1, greatest(len(h) - 7, 1) + 1),
+        j -> j - 1 + list_position(h[j : least(j + 7, len(h))],
+                                   list_min(h[j : least(j + 7, len(h))]))))
+    ELSE []::BIGINT[] END AS pos
+  FROM hs
+), fin AS (
+  SELECT doc_id, ng,
+         CASE WHEN ng > 0 THEN list_transform(pos, p -> h[p::INT])
+              ELSE []::BIGINT[] END AS sh
+  FROM sel
+)
+"""
+
+ORACLES["winnow_fingerprints"] = (
+    _WINNOW_SEL
+    + """
+SELECT doc_id,
+       ng::BIGINT AS n_grams,
+       len(sh)::BIGINT AS n_fp,
+       (CASE WHEN len(sh) > 0
+             THEN list_reduce(list_prepend(0::BIGINT, sh),
+                              (a, x) -> xor(a, x))
+             ELSE 0 END)::BIGINT AS fp_xor,
+       (CASE WHEN len(sh) > 0 THEN list_min(sh) ELSE 0 END)::BIGINT AS fp_min,
+       (CASE WHEN len(sh) > 0 THEN list_max(sh) ELSE 0 END)::BIGINT AS fp_max
+FROM fin ORDER BY doc_id
+"""
+)
+
+# Winnow clone pairs (queries.winnow_clone_pairs): distinct-hash
+# postings -> df<=1000 cut -> self-join, >= 5 shared, overlap_ppm by
+# integer division vs the smaller capped set.
+ORACLES["winnow_clone_pairs"] = (
+    _WINNOW_SEL
+    + """
+, postings AS (
+  SELECT DISTINCT doc_id AS id, unnest(sh) AS hfp FROM fin WHERE ng > 0
+), freq AS (
+  SELECT hfp, count(*) AS df FROM postings GROUP BY 1
+), pruned AS (
+  SELECT p.id, p.hfp FROM postings p JOIN freq f USING (hfp)
+  WHERE f.df <= 1000
+), sizes AS (
+  SELECT id, count(*) AS n_fp FROM pruned GROUP BY 1
+), shared AS (
+  SELECT a.id AS id_a, b.id AS id_b, count(*)::BIGINT AS n_shared
+  FROM pruned a JOIN pruned b ON a.hfp = b.hfp AND a.id < b.id
+  GROUP BY 1, 2 HAVING count(*) >= 5
+)
+SELECT s.id_a, s.id_b, s.n_shared,
+       (s.n_shared * 1000000 // least(sa.n_fp, sb.n_fp))::BIGINT
+         AS overlap_ppm
+FROM shared s
+JOIN sizes sa ON s.id_a = sa.id
+JOIN sizes sb ON s.id_b = sb.id
+ORDER BY 1, 2
+"""
+)
+
+# Block clones (queries.block_clone_pairs): 8-token aligned chunks,
+# md5 digests (shared by both engines), distinct postings, df cap,
+# >= 2 shared blocks.
+ORACLES["block_clone_pairs"] = """
+WITH toks AS (
+  SELECT doc_id, regexp_split_to_array(trim(text), '\\s+') AS tk
+  FROM documents
+), nbt AS (
+  SELECT doc_id, tk, (len(tk) // 8) AS nb FROM toks WHERE len(tk) >= 8
+), blocks AS (
+  SELECT DISTINCT doc_id, nb,
+         unnest(list_transform(range(1, nb + 1),
+           i -> md5(array_to_string(
+                  tk[((i - 1) * 8 + 1)::INT : (i * 8)::INT], ' ')))) AS bh
+  FROM nbt
+), freq AS (
+  SELECT bh, count(*) AS df FROM blocks GROUP BY 1
+), pruned AS (
+  SELECT b.doc_id, b.nb, b.bh FROM blocks b JOIN freq f USING (bh)
+  WHERE f.df <= 10000
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b,
+         a.nb AS nb_a, b.nb AS nb_b, count(*)::BIGINT AS n_shared
+  FROM pruned a JOIN pruned b ON a.bh = b.bh AND a.doc_id < b.doc_id
+  GROUP BY 1, 2, 3, 4 HAVING count(*) >= 2
+)
+SELECT id_a, id_b, n_shared,
+       (n_shared * 1000000 // least(nb_a, nb_b))::BIGINT AS coverage_ppm
+FROM pairs ORDER BY 1, 2
+"""
+
+# License audit (queries.license_scan): SPDX ids planted on
+# doc_id % 11 with id = list[doc_id % 5]; extraction + rollup.
+ORACLES["license_scan"] = """
+WITH planted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 11 = 0
+         THEN 'SPDX-License-Identifier: ' ||
+              (['MIT','Apache-2.0','GPL-3.0-only','BSD-3-Clause',
+                'MPL-2.0'])[(doc_id % 5 + 1)::INT] || ' '
+         ELSE '' END || text AS body
+  FROM documents
+), ext AS (
+  SELECT doc_id, source,
+    CASE WHEN regexp_extract(body,
+           'SPDX-License-Identifier: ([0-9A-Za-z.\\-]+)', 1) = ''
+         THEN 'NONE'
+         ELSE regexp_extract(body,
+           'SPDX-License-Identifier: ([0-9A-Za-z.\\-]+)', 1) END AS license
+  FROM planted
+)
+SELECT license,
+       count(*)::BIGINT AS n_docs,
+       count(DISTINCT source)::BIGINT AS n_sources,
+       license IN ('MIT', 'Apache-2.0', 'BSD-3-Clause') AS is_permissive
+FROM ext GROUP BY 1 ORDER BY 1
+"""
+
+# Generated/minified filter (queries.generated_code_flags): codegen
+# marker on doc_id % 13, 120-char minified token on doc_id % 29.
+ORACLES["generated_code_flags"] = """
+WITH planted AS (
+  SELECT doc_id, source,
+    CASE WHEN doc_id % 13 = 0
+         THEN '// Code generated by protoc-gen-go. DO NOT EDIT. '
+         ELSE '' END
+    || text
+    || CASE WHEN doc_id % 29 = 0 THEN ' ' || repeat('x', 120)
+            ELSE '' END AS body
+  FROM documents
+), flags AS (
+  SELECT source,
+    regexp_matches(body, 'Code generated by .+ DO NOT EDIT') AS has_marker,
+    list_max(list_transform(regexp_split_to_array(trim(body), '\\s+'),
+                            t -> length(t))) >= 80 AS is_minified
+  FROM planted
+)
+SELECT source,
+       count(*)::BIGINT AS n_docs,
+       sum(CASE WHEN has_marker THEN 1 ELSE 0 END)::BIGINT AS n_generated,
+       sum(CASE WHEN is_minified THEN 1 ELSE 0 END)::BIGINT AS n_minified,
+       sum(CASE WHEN has_marker OR is_minified THEN 1 ELSE 0 END)::BIGINT
+         AS n_flagged
+FROM flags GROUP BY 1 ORDER BY 1
+"""

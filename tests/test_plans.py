@@ -163,6 +163,14 @@ def test_release_check_plans_are_map_side(spark):
     # one groupBy(source) + orderBy
     plan = _plan(Q.packing_stats(spark, sf))
     assert plan.count("Exchange") == 2, plan
+    # r5 code-payload audits: one rollup + output sort, no UDF;
+    # license_scan pays one extra Exchange for the exact
+    # countDistinct(source) two-phase aggregation
+    for name, budget in (("license_scan", 3), ("generated_code_flags", 2)):
+        plan = _plan(getattr(Q, name)(spark, sf))
+        assert plan.count("Exchange") == budget, (name, plan)
+        assert "CartesianProduct" not in plan
+        assert "EvalPython" not in plan, (name, plan)
     # hash-first two-pass span report: gh count, flagged-set recovery
     # join, gram recovery groupBy, output sort — never a string-keyed
     # corpus-wide shuffle beyond the tiny flagged-gram recovery.  The
