@@ -125,6 +125,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "block_clone_pairs": Q.block_clone_pairs,
         "license_scan": Q.license_scan,
         "generated_code_flags": Q.generated_code_flags,
+        "import_cooccurrence_pairs": Q.import_cooccurrence_pairs,
         # temporal joins (oracle-checked)
         "events_asof_join": Q.events_asof_join,
         "events_range_join": Q.events_range_join,

@@ -75,6 +75,7 @@ HEADLINE = [
     "block_clone_pairs",
     "license_scan",
     "generated_code_flags",
+    "import_cooccurrence_pairs",
     # temporal joins (r5)
     "events_asof_join",
     "events_range_join",

@@ -2092,3 +2092,29 @@ SELECT source,
          AS n_flagged
 FROM flags GROUP BY 1 ORDER BY 1
 """
+
+# Import co-occurrence graph (queries.import_cooccurrence_pairs):
+# identical deterministic planting (mod{doc_id%7}, mod{doc_id%5+7},
+# plus mod{doc_id%11+12} on every third doc), but the pair set is
+# derived INDEPENDENTLY — DuckDB unnests the extracted module list
+# and self-joins on doc_id (the classic relational shape), while the
+# Spark side enumerates pairs map-side inside the array; matching
+# counts prove the two enumeration strategies agree.
+ORACLES["import_cooccurrence_pairs"] = """
+WITH planted AS (
+  SELECT doc_id,
+    'import mod' || CAST(doc_id % 7 AS VARCHAR) ||
+    ' import mod' || CAST(doc_id % 5 + 7 AS VARCHAR) ||
+    CASE WHEN doc_id % 3 = 0
+         THEN ' import mod' || CAST(doc_id % 11 + 12 AS VARCHAR)
+         ELSE '' END || ' ' || text AS body
+  FROM documents
+), mods AS (
+  SELECT DISTINCT doc_id,
+         unnest(regexp_extract_all(body, 'import (mod[0-9]+)', 1)) AS m
+  FROM planted
+)
+SELECT a.m AS mod_a, b.m AS mod_b, count(*)::BIGINT AS n_docs
+FROM mods a JOIN mods b ON a.doc_id = b.doc_id AND a.m < b.m
+GROUP BY 1, 2 ORDER BY 1, 2
+"""

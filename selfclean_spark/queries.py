@@ -3175,3 +3175,73 @@ def generated_code_flags(spark, sf_dir):
         )
         .orderBy("source")
     )
+
+
+# Dependency-graph planting (import_cooccurrence_pairs + its DuckDB
+# twin): every doc imports mod{doc_id % 7} and mod{doc_id % 5 + 7};
+# every third doc also imports mod{doc_id % 11 + 12}.  The three
+# module ranges are disjoint, so per-doc import lists are
+# duplicate-free by construction (array_distinct is belt-and-braces).
+def import_cooccurrence_pairs(spark, sf_dir):
+    """Import/dependency co-occurrence graph — the structural code
+    analytics a source-code corpus (BASELINE input_hint: repo / path /
+    lang / content) runs to find modules that ship together: for every
+    document, extract its imported modules, emit every unordered
+    module pair that co-occurs in one file, and count supporting
+    documents per pair.  Import statements are planted
+    deterministically from doc_id (the organic corpus has none), both
+    engines plant and extract with identical expressions — so the
+    extraction regexp, the pair enumeration, and the rollup are all
+    engine-cross-checked.
+
+    100-TB shape: pair generation is MAP-SIDE — the per-doc module
+    list is small (fan-out k imports/file), so intra-document pairs
+    come from an array self-product (transform×transform + filter,
+    whole-stage JVM, no Python) instead of the classic exploded
+    self-join, deleting the O(n·k)-row join shuffle entirely; the
+    only Exchanges are the pair rollup and the output sort.  Pair
+    keys are canonicalized by string order (mod_a < mod_b), identical
+    in both engines.
+
+    Reference analog: SelfClean surfaces pairwise structure only via
+    embedding distance (selfclean/cleaner/near_duplicates/
+    embedding_distance_mixin.py); this is the code-payload structural
+    twin over explicit import edges."""
+    d = _t(spark, sf_dir, "documents")
+    body = F.concat(
+        F.lit("import mod"),
+        (F.col("doc_id") % 7).cast("string"),
+        F.lit(" import mod"),
+        (F.col("doc_id") % 5 + 7).cast("string"),
+        F.when(
+            F.col("doc_id") % 3 == 0,
+            F.concat(
+                F.lit(" import mod"),
+                (F.col("doc_id") % 11 + 12).cast("string"),
+            ),
+        ).otherwise(F.lit("")),
+        F.lit(" "),
+        F.col("text"),
+    )
+    mods = F.array_sort(
+        F.array_distinct(
+            F.regexp_extract_all(body, F.lit(r"import (mod[0-9]+)"), F.lit(1))
+        )
+    )
+    # intra-doc unordered pairs, map-side: k×k array product filtered
+    # to the strict upper triangle (string order) — never a join
+    pairs = F.filter(
+        F.flatten(
+            F.transform(
+                mods, lambda x: F.transform(mods, lambda y: F.array(x, y))
+            )
+        ),
+        lambda p: p[0] < p[1],
+    )
+    return (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p")[0].alias("mod_a"), F.col("p")[1].alias("mod_b"))
+        .groupBy("mod_a", "mod_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .orderBy("mod_a", "mod_b")
+    )

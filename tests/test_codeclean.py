@@ -212,3 +212,57 @@ def test_clone_pair_plans_shuffle_no_content(spark):
         for line in plan.splitlines():
             if "Exchange hashpartitioning" in line:
                 assert "text" not in line, line
+
+
+def test_import_cooccurrence_pairs_independent_recompute(spark):
+    """Third implementation of the import co-occurrence graph: pure
+    pandas/itertools over the same parquet, planted the same way —
+    independent of BOTH the Spark map-side array enumeration and the
+    DuckDB unnest-self-join oracle."""
+    import itertools
+
+    import pandas as pd
+
+    from selfclean_spark import queries as Q
+
+    sf = "/root/testdata/sf0.001"
+    got = (
+        Q.import_cooccurrence_pairs(spark, sf)
+        .toPandas()
+        .sort_values(["mod_a", "mod_b"])
+        .reset_index(drop=True)
+    )
+
+    pdf = pd.read_parquet(sf + "/documents.parquet", columns=["doc_id"])
+    counts = {}
+    for i in pdf["doc_id"].astype("int64"):
+        mods = [f"mod{i % 7}", f"mod{i % 5 + 7}"]
+        if i % 3 == 0:
+            mods.append(f"mod{i % 11 + 12}")
+        for a, b in itertools.combinations(sorted(mods), 2):
+            counts[(a, b)] = counts.get((a, b), 0) + 1
+    want = (
+        pd.DataFrame(
+            [(a, b, n) for (a, b), n in counts.items()],
+            columns=["mod_a", "mod_b", "n_docs"],
+        )
+        .sort_values(["mod_a", "mod_b"])
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(got, want, check_dtype=False)
+
+
+def test_import_cooccurrence_plan_map_side(spark):
+    """Pair enumeration is map-side (array self-product): exactly two
+    Exchanges — the pair rollup and the output sort — no join, no
+    Python."""
+    from selfclean_spark import queries as Q
+
+    plan = (
+        Q.import_cooccurrence_pairs(spark, "/root/testdata/sf0.001")
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Exchange") == 2, plan
+    assert "CartesianProduct" not in plan
+    assert "Join" not in plan, plan
+    assert "EvalPython" not in plan, plan
