@@ -242,6 +242,61 @@ def verify_candidates(
     sig_cfg = cfg.signature
     tau = cfg.jaccard_threshold
 
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    na = F.size("sh_a").cast("double")
+    nb = F.size("sh_b").cast("double")
+
+    if "shingles" in signatures.columns:
+        # FUSED path (r6, guide §2.4): when the signature table already
+        # carries the hashed-shingle arrays (token mode), the exact
+        # Jaccard rides the SAME two per-side joins as the sketch tiers
+        # — one linear plan, no same-sha/diff-sha branch split.  The
+        # old split recomputed the whole candidate subtree (band
+        # bucket-size groupBy + capped self-join) once per branch —
+        # measured 6 ShuffledHashJoins where the algorithm needs 2.
+        # Byte-identical pairs have identical shingle arrays, so the
+        # array Jaccard is exactly 1.0 — the fast-path literal and the
+        # computed value coincide bit-for-bit and the oracle hash is
+        # unchanged.
+        sig_a = signatures.select(
+            F.col("id").alias("id_a"),
+            F.col("content_sha").alias("sha_a"),
+            F.col("minhash").alias("minhash_a"),
+            F.col("simhash").alias("simhash_a"),
+            F.col("shingles").alias("sh_a"),
+        )
+        sig_b = signatures.select(
+            F.col("id").alias("id_b"),
+            F.col("content_sha").alias("sha_b"),
+            F.col("minhash").alias("minhash_b"),
+            F.col("simhash").alias("simhash_b"),
+            F.col("shingles").alias("sh_b"),
+        )
+        n_perm = "cast(size(minhash_a) as double)"
+        enriched = pairs.join(sig_a, "id_a").join(sig_b, "id_b").select(
+            "*",
+            F.expr(
+                "size(filter(zip_with(minhash_a, minhash_b, (x, y) -> x = y), v -> v))"
+                f" / {n_perm}"
+            ).alias("jaccard_est"),
+            F.expr("cast(bit_count(simhash_a ^ simhash_b) as int)").alias(
+                "hamming"
+            ),
+        )
+        # recall-safe cheap reject: drop only if far by BOTH sketches
+        survivors = enriched.filter(
+            ~(
+                (F.col("hamming") > F.lit(cfg.max_hamming))
+                & (F.col("jaccard_est") < F.lit(cfg.jaccard_threshold / 2.0))
+            )
+        )
+        scored = survivors.select(
+            "*",
+            (inter / (na + nb - inter)).alias("jaccard"),
+            (inter / F.least(na, nb)).alias("containment"),
+        ).drop("minhash_a", "minhash_b", "simhash_a", "simhash_b", "sh_a", "sh_b")
+        return _finish_verify(scored, ingested, cfg, tau)
+
     enriched = enrich_candidates(pairs, signatures)
     # recall-safe cheap reject: drop only if far by BOTH sketches
     survivors = enriched.filter(
@@ -262,26 +317,18 @@ def verify_candidates(
     )
     diff_sha = survivors.filter(F.col("sha_a") != F.col("sha_b"))
 
-    # shingle arrays: reuse the signature table's column when the
-    # caller kept it (compute_signatures(keep_shingles=True) — token
-    # mode / short docs), else shingle once per candidate doc appearing
-    # in a sha-differing pair; persisted because the pair plan joins it
+    # shingle arrays: shingle once per candidate doc appearing in a
+    # sha-differing pair; persisted because the pair plan joins it
     # on both sides
-    if "shingles" in signatures.columns:
-        shingles = signatures.select("id", "shingles")
-    else:
-        shingles = shingle_table(diff_sha, ingested, sig_cfg).persist(
-            StorageLevel.MEMORY_AND_DISK
-        )
+    shingles = shingle_table(diff_sha, ingested, sig_cfg).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     sh_a = shingles.select(
         F.col("id").alias("id_a"), F.col("shingles").alias("sh_a")
     )
     sh_b = shingles.select(
         F.col("id").alias("id_b"), F.col("shingles").alias("sh_b")
     )
-    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-    na = F.size("sh_a").cast("double")
-    nb = F.size("sh_b").cast("double")
     scored = (
         diff_sha.join(sh_a, "id_a")
         .join(sh_b, "id_b")
@@ -290,6 +337,12 @@ def verify_candidates(
         .drop("sh_a", "sh_b")
         .unionByName(same_sha)
     )
+    return _finish_verify(scored, ingested, cfg, tau)
+
+
+def _finish_verify(
+    scored: DataFrame, ingested: DataFrame, cfg: PipelineConfig, tau: float
+) -> DataFrame:
 
     base_cols = [
         "id_a", "id_b", "sha_a", "sha_b", "n_bands_hit",
