@@ -50,6 +50,10 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
+
+from selfclean_spark import caching
+from selfclean_spark.operators.ingest import fanout_few_files
 
 # Winnowing parameters — k-gram length, window width, polynomial base,
 # prime modulus.  k = 20 chars (~4 tokens of code) per the MOSS paper's
@@ -190,7 +194,11 @@ def winnow_fingerprints(
     """
     if impl == "arrow":
         return (
-            df.select(F.col(id_col).alias("doc_id"), F.col(text_col).alias("text"))
+            fanout_few_files(
+                df.select(
+                    F.col(id_col).alias("doc_id"), F.col(text_col).alias("text")
+                )
+            )
             .mapInPandas(
                 _winnow_report_batches,
                 schema=(
@@ -202,7 +210,7 @@ def winnow_fingerprints(
         )
     sel = _winnow_selected_expr(f"trim({text_col})")
     return (
-        df.select(
+        fanout_few_files(df).select(
             F.col(id_col).alias("doc_id"),
             F.expr(
                 f"greatest(length(trim({text_col})) - {WINNOW_K - 1}, 0)"
@@ -252,12 +260,12 @@ def winnow_clone_pairs(
     shuffles.
     """
     if impl == "arrow":
-        fps = df.select(
-            F.col(id_col).alias("id"), F.col(text_col).alias("text")
+        fps = fanout_few_files(
+            df.select(F.col(id_col).alias("id"), F.col(text_col).alias("text"))
         ).mapInPandas(_winnow_posting_batches, schema="id long, h long")
     else:
         sel = _winnow_selected_expr(f"trim({text_col})")
-        fps = df.select(
+        fps = fanout_few_files(df).select(
             F.col(id_col).alias("id"),
             F.expr(sel).alias("_sel"),
         ).select(
@@ -266,9 +274,18 @@ def winnow_clone_pairs(
                 F.array_distinct(F.expr("transform(_sel, x -> x.h)"))
             ).alias("h"),
         )
+    # persist the postings and the capped index: the winnowing map pass
+    # is the expensive node and the plan reads the postings twice (df
+    # count + index join) and the capped index three times (sizes +
+    # both self-join sides) — without the caches the fingerprint kernel
+    # re-ran once per consumer (registered with ``caching`` for
+    # release; 16 B/row, the same band-cache discipline as the LSH path)
+    fps = caching.register_persist(fps.persist(StorageLevel.MEMORY_AND_DISK))
     freq = fps.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    pruned = fps.join(
-        freq.filter(F.col("df") <= max_doc_freq).select("h"), "h"
+    pruned = caching.register_persist(
+        fps.join(
+            freq.filter(F.col("df") <= max_doc_freq).select("h"), "h"
+        ).persist(StorageLevel.MEMORY_AND_DISK)
     )
     sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = pruned.select("h", F.col("id").alias("id_a"))

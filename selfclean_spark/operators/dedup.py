@@ -42,15 +42,11 @@ def _std(df: DataFrame, id_col: str, text_col: str, fanout: bool = False) -> Dat
     has thousands of files and the condition never fires; in-memory
     test relations report no files and are left untouched (they are
     already created with default parallelism)."""
+    from selfclean_spark.operators.ingest import fanout_few_files
+
     std = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("content"))
     if fanout:
-        sc = df.sparkSession.sparkContext
-        try:
-            n_files = len(df.inputFiles())
-        except Exception:  # non-file sources: nothing to probe
-            n_files = 0
-        if 0 < n_files < sc.defaultParallelism // 2:
-            std = std.repartition(sc.defaultParallelism)
+        std = fanout_few_files(std)
     return std
 
 

@@ -24,6 +24,35 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def fanout_few_files(df: DataFrame) -> DataFrame:
+    """Conditional scan fan-out for heavy map-side work (guide §2.6/§6).
+
+    A small corpus read from one parquet file (or one row group — the
+    splitter cannot split inside a row group) arrives as ONE scan
+    partition, serializing every downstream map operator — codegen'd
+    higher-order expressions and Arrow batches alike — through a single
+    core while the rest of the machine idles.  When the source reports
+    fewer files than half the default parallelism, a narrow round-robin
+    repartition of the raw rows spreads the map work; at lake scale the
+    scan has thousands of files and this is the identity (the probe is
+    source metadata via ``inputFiles()`` — no job, no RDD conversion).
+
+    Apply ONLY where the per-row map work dominates the exchange cost
+    (sketch kernels, tokenize/explode projections, winnowing): for
+    cheap projections the extra narrow shuffle is pure overhead.
+    Results are unaffected — every consumer in this repo is
+    partitioning-independent (the local[1..32] determinism rule).
+    """
+    sc = df.sparkSession.sparkContext
+    try:
+        n_files = len(df.inputFiles())
+    except Exception:  # non-file sources: nothing to probe
+        return df
+    if 0 < n_files < sc.defaultParallelism // 2:
+        return df.repartition(sc.defaultParallelism)
+    return df
+
+
 def with_identity(code_files: DataFrame, wide_id: bool = False) -> DataFrame:
     """Add ``id`` and ``content_sha`` to the raw source relation."""
     df = code_files.withColumn(

@@ -23,6 +23,7 @@ from selfclean_spark import caching
 from selfclean_spark.config import PipelineConfig, SignatureConfig
 from selfclean_spark.functions import text as T
 from selfclean_spark.operators import candidates as cand_ops
+from selfclean_spark.operators.ingest import fanout_few_files
 from selfclean_spark.operators import dedup as D
 from selfclean_spark.operators import ranking as rank_ops
 from selfclean_spark.operators import signatures as sig_ops
@@ -1758,7 +1759,7 @@ def boilerplate_segment_scrub(spark, sf_dir):
     corpus scan, and the scrub itself is a map-side array filter +
     rejoin inside codegen.  The DuckDB twin recomputes everything at
     the string level — an independent check of the hash-first rewrite."""
-    d = _t(spark, sf_dir, "documents")
+    d = fanout_few_files(_t(spark, sf_dir, "documents"))
     w = F.split(F.trim("text"), r"\s+")
     n_seg = F.ceil(F.size(w) / F.lit(float(SCRUB_SEG_W))).cast("int")
     seg_arr = F.transform(

@@ -172,7 +172,10 @@ def test_block_clone_unaligned_copy_not_matched(spark):
 
 def test_winnow_plan_native_no_udf_single_exchange(spark):
     """impl='native' claims map-only whole-stage-codegen: no Python
-    evaluation node, and the only Exchange is the output sort."""
+    evaluation node, no key-partitioned shuffle — the only Exchanges
+    are the output sort (range) and the conditional single-split scan
+    fan-out (round-robin; identity at lake scale).  Counted by
+    partitioning TYPE, not total (ADVICE r5 #3: totals are brittle)."""
     docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
     plan = (
         CC.winnow_fingerprints(docs, "doc_id", "text", impl="native")
@@ -180,7 +183,8 @@ def test_winnow_plan_native_no_udf_single_exchange(spark):
     )
     for node in ("BatchEvalPython", "ArrowEvalPython", "MapInPandas"):
         assert node not in plan, plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
 
 
 def test_winnow_plan_arrow_one_pass_pruned(spark):
@@ -194,7 +198,8 @@ def test_winnow_plan_arrow_one_pass_pruned(spark):
     )
     assert plan.count("MapInPandas") == 1, plan
     assert "BatchEvalPython" not in plan
-    assert plan.count("Exchange") == 1, plan
+    assert plan.count("Exchange hashpartitioning") == 0, plan
+    assert plan.count("Exchange rangepartitioning") == 1, plan
     assert "ReadSchema: struct<doc_id:bigint,text:string>" in plan, plan
 
 
