@@ -262,7 +262,16 @@ def contracted_triangle_stats(
         .select("sa", "sb")
         .distinct()
     )
-    redges = caching.register_persist(
+    # localCheckpoint, not persist (r6): the contracted edge set is
+    # referenced six times below (degree sums, the oriented triple
+    # join's three legs, both union orientations) — with a persist each
+    # reference embeds the whole postings->prefix->verify tree into the
+    # consumer plan and DRIVER PLANNING alone measured 1.6 s at sf0.1.
+    # The checkpoint truncates lineage to a leaf.  Fault-tolerance
+    # trade (guide §5) is safe here: redges is the SPARSE contracted
+    # graph (near-dup structure between distinct texts — the operator's
+    # own scale contract), orders of magnitude below the corpus.
+    redges = (
         cands.join(
             set_arr.select(F.col("id").alias("sa"), F.col("toks").alias("ta"), F.col("n_tok").alias("n_a")),
             "sa",
@@ -278,7 +287,7 @@ def contracted_triangle_stats(
             >= threshold
         )
         .select("sa", "sb")
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint(eager=True)
     )
     msz = sets.select(F.col("sid").alias("nb"), F.col("m").alias("m_nb"))
     und = redges.select(
