@@ -9,11 +9,11 @@ hashes identically — probability 1-(1-s^r)^b of meeting at Jaccard s
 (≈0.99995 at s=0.8 with the default r=5/b=25), which buys the ≥0.99
 recall gate sub-quadratically.
 
-Physical design (one band shuffle, cached; codegen'd join expansion):
+Physical design (one band shuffle, reused; codegen'd join expansion):
 
     bands (id, band_hash)                   narrow, computed on the fly
-      → repartition(band_hash) + persist    THE shuffle (16 B/row), once
-      → groupBy sizes / cap filter / SHJ self-join   all off the cache
+      → Exchange(band_hash)                 THE shuffle (16 B/row), once
+      → count window / cap filter / SHJ self-join   all off that shuffle
       → (id_a < id_b) raw pair stream       whole-stage codegen
       → groupBy(id_a, id_b) count           dedup across bands
 
@@ -34,9 +34,8 @@ skew-join stays on as backstop for the later joins.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 _PAIR_EXPANSION = (
     "flatten(transform(ids, (x, i) -> "
@@ -49,7 +48,7 @@ def band_pair_stream(
     bands: DataFrame,
     band_bucket_cap: int,
     observation: Observation | None = None,
-) -> tuple[DataFrame, DataFrame, DataFrame]:
+) -> tuple[DataFrame, DataFrame]:
     """(id, band_hash) → RAW co-bucket pair stream, pre-deduplication.
 
     One output row per (pair, band) co-occurrence — callers that need
@@ -59,21 +58,28 @@ def band_pair_stream(
     a second full shuffle of the pair set (r3: the
     aggregate-union-aggregate chain was two sequential pair exchanges).
 
-    Physical shape (r3 rework, BENCH/profile_candidates.py):
+    Physical shape (r6 rework — guide §2.4 "two operations keyed the
+    same way can share one exchange"):
 
-        bands → repartition(band_hash) → persist     THE shuffle, once
-          ├─ groupBy sizes (no exchange: co-partitioned)
-          ├─ SHJ size-filter join (bands ⋈ eligible keys)
-          └─ SHJ self-join  → (id_a < id_b) pairs
+        bands → Exchange(band_hash)                  THE shuffle, once
+          ├─ Window count(*) over band_hash → cap filter → join side a
+          └─ Window count(*) over band_hash → cap filter → join side b
+                                  └── SHJ self-join → (id_a < id_b)
 
-    * The exploded band index is shuffled ONCE and cached; the size
-      count, the cap filter, and both self-join sides read the cache —
-      without it Catalyst re-derived the band hashes once per consumer
-      (4 scans of the signature table).  The cache is (id, band_hash) =
-      16 B/row × b bands — at 10⁹ files ≈ 400 GB spread over the
-      cluster, the same bytes the single exchange already wrote to
-      shuffle disk (MEMORY_AND_DISK: large deployments stream it from
-      local disk like a second shuffle read).
+    * Bucket sizing is a COUNT WINDOW over the band exchange instead of
+      the r3 repartition→persist→groupBy→semi-join chain: the window's
+      partition key equals the join key, so its output partitioning
+      feeds the self-join directly and AQE stage reuse serves both join
+      sides from the ONE materialized shuffle.  This removes, per edge
+      query: the explicit ``repartition`` node, the block-manager cache
+      (write + bookkeeping + 3 cached reads of ~16 B/row × b bands —
+      at 10⁹ files a ~400 GB cache the shuffle files already hold), the
+      bucket-size aggregation exchange, and the capping semi-join.
+      Bucket membership is unchanged: the window count equals the old
+      groupBy count, and the 2 ≤ n ≤ cap filter keeps exactly the same
+      rows, so candidate sets — and every downstream fingerprint — are
+      bit-identical (A/B-verified at sf0.1 and against the DuckDB
+      oracles at sf0.001).
     * Expansion is a codegen'd shuffled-hash self-equi-join, not
       collect_list + nested transform/slice lambdas: higher-order
       Catalyst lambdas evaluate interpreted PER ELEMENT, which at the
@@ -84,55 +90,77 @@ def band_pair_stream(
       throughput, and the ``shuffle_hash`` hint keeps AQE from
       broadcasting a multi-hundred-MB build side (the GC-thrash mode
       measured with the default planner).
-    * Hot-key safety: bucket sizes are counted first and over-cap keys
-      filtered from BOTH join sides, so a degenerate key (empty files,
-      license boilerplate at 10^6 copies) contributes at most cap²
-      probe work and never materializes m² pairs.  Per-partition SHJ
-      build sides are bounded by the cap filter + uniform xxhash64
-      keys; AQE skew handling stays on as backstop.
+    * Hot-key safety: the window count is evaluated before any pair is
+      emitted, so a degenerate key (empty files, license boilerplate at
+      10^6 copies) is filtered from BOTH join sides and never
+      materializes m² pairs.  Per-partition SHJ build sides are bounded
+      by the cap filter + uniform xxhash64 keys; AQE skew handling
+      stays on as backstop.
 
     ``observation``: an optional ``pyspark.sql.Observation`` attached to
-    the bucket-size relation INSIDE the plan — after the caller's first
-    action it yields ``dropped_band_buckets`` and ``max_bucket_size``
-    with zero extra jobs.
+    join side a's pre-filter stream (evaluated exactly once) — after the
+    caller's first action it yields ``dropped_band_buckets`` and
+    ``max_bucket_size`` with zero extra jobs.  The observed side orders
+    its window by ``id`` so a ``row_number() == 1`` row deterministically
+    represents each bucket; the count frame is pinned to the full
+    partition so ``bs`` is the whole-bucket size either way.
 
-    Returns ``(raw_pairs, dropped_log, cached_bands)`` — the third
-    element is the persisted band index (registered with
-    ``selfclean_spark.caching``); callers that materialize the pair
-    stream exactly once (the pipeline's checkpoint write) should
-    ``unpersist()`` it afterwards, library callers may leave it to
-    ``caching.unpersist_all()``.
+    Returns ``(raw_pairs, dropped_log)`` — ``dropped_log`` is a lazy
+    sidecar relation (band_hash, bucket_size of every over-cap bucket);
+    reading it is a separate action, metrics-only callers should pass
+    ``observation`` instead.
     """
-    from selfclean_spark import caching
-
     keys = ["band_hash"]
-    bx = caching.register_persist(
-        bands.repartition(*keys).persist(StorageLevel.MEMORY_AND_DISK)
+    w = Window.partitionBy(*keys)
+    in_cap = (F.col("bs") >= 2) & (F.col("bs") <= band_bucket_cap)
+    plain = bands.select(
+        "id", *keys, F.count(F.lit(1)).over(w).alias("bs")
     )
-    sizes = bx.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
     if observation is not None:
-        sizes = sizes.observe(
-            observation,
-            F.sum(
-                F.when(F.col("bucket_size") > band_bucket_cap, 1).otherwise(0)
-            ).alias("dropped_band_buckets"),
-            F.coalesce(F.max("bucket_size"), F.lit(0)).alias("max_bucket_size"),
+        wo = w.orderBy("id")
+        full = wo.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-    dropped = sizes.filter(F.col("bucket_size") > band_bucket_cap)
-    eligible = sizes.filter(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= band_bucket_cap)
-    ).select(*keys)
-    capped = bx.join(eligible.hint("shuffle_hash"), keys, "inner")
+        a_src = (
+            bands.select(
+                "id",
+                *keys,
+                F.count(F.lit(1)).over(full).alias("bs"),
+                F.row_number().over(wo).alias("rn"),
+            )
+            .observe(
+                observation,
+                F.coalesce(
+                    F.sum(
+                        F.when(
+                            (F.col("bs") > band_bucket_cap) & (F.col("rn") == 1),
+                            1,
+                        )
+                    ),
+                    F.lit(0),
+                ).alias("dropped_band_buckets"),
+                F.coalesce(F.max("bs"), F.lit(0)).alias("max_bucket_size"),
+            )
+            .filter(in_cap)
+        )
+    else:
+        a_src = plain.filter(in_cap)
+    b_src = plain.filter(in_cap)
     raw = (
-        capped.select(*keys, F.col("id").alias("id_a"))
+        a_src.select(*keys, F.col("id").alias("id_a"))
         .join(
-            capped.select(*keys, F.col("id").alias("id_b")).hint("shuffle_hash"),
+            b_src.select(*keys, F.col("id").alias("id_b")).hint("shuffle_hash"),
             keys,
         )
         .filter(F.col("id_a") < F.col("id_b"))
         .select("id_a", "id_b")
     )
-    return raw, dropped, bx
+    dropped = (
+        bands.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > band_bucket_cap)
+    )
+    return raw, dropped
 
 
 def candidate_pairs(
@@ -154,7 +182,7 @@ def candidate_pairs(
         separate action; metrics-only callers should pass
         ``observation`` instead).
     """
-    raw, dropped, _bx = band_pair_stream(bands, band_bucket_cap, observation)
+    raw, dropped = band_pair_stream(bands, band_bucket_cap, observation)
     pairs = raw.groupBy("id_a", "id_b").agg(
         F.count(F.lit(1)).alias("n_bands_hit")
     )

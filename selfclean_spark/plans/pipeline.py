@@ -241,10 +241,9 @@ class DedupPipeline:
             # table); _run_stage resolves it into the metrics sidecar
             # after the write — logged, never silent (SURVEY.md §4.2)
             dropped_obs = Observation("dropped_band_buckets")
-            raw, _dropped, band_cache = cand_ops.band_pair_stream(
+            raw, _dropped = cand_ops.band_pair_stream(
                 bands, cfg.band_bucket_cap, observation=dropped_obs
             )
-            self._band_cache = band_cache
             extra = {"band_buckets": dropped_obs}
             # exact-dup pairs (sha equality) are injected so capped hot
             # buckets can never lose verbatim duplicates; sourced from
@@ -290,16 +289,9 @@ class DedupPipeline:
             )
             return all_pairs, extra, ["id_a"]
 
-        self._band_cache = None
         candidates = self._run_stage(
             "candidates", build_candidates, rows_in=n_input, force=force
         )
-        # the cached band index exists only to feed the three consumers
-        # inside the candidates plan; once the checkpoint is durable it
-        # is dead weight — release eagerly (no-op on checkpoint hit)
-        if self._band_cache is not None:
-            self._band_cache.unpersist()
-            self._band_cache = None
 
         # stage 4: verification --------------------------------------------
         # rows_in comes from the candidates stage's manifest (patched by

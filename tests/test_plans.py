@@ -46,11 +46,18 @@ def test_candidates_plan_never_reads_content(tables):
     for line in read_schemas:
         assert "content" not in line, line
     assert "CartesianProduct" not in plan
-    # one physical pass over signatures: the shuffled band index is
-    # persisted and all three consumers (bucket-size count, cap-filter
-    # join, pair self-join) read the cache — the plan text repeats the
-    # cached subtree per consumer, so count cache readers, not scans
-    assert plan.count("InMemoryTableScan") >= 3, plan
+    # r6 shape: bucket capping is a count WINDOW over the band-hash
+    # exchange (no repartition+persist+semi-join chain); the window's
+    # partition key equals the join key so the self-join consumes the
+    # window output partitioning directly — no further band exchange
+    assert plan.count("Window [count(1)") >= 1, plan
+    band_exchanges = [
+        l
+        for l in plan.splitlines()
+        if "Exchange hashpartitioning(band_hash" in l
+    ]
+    assert len(band_exchanges) <= 2, plan  # one per join side, pre-AQE
+    assert "rangepartitioning" not in plan
     # expansion is the codegen'd shuffled-hash self-join, never a
     # broadcast of the multi-hundred-MB band table
     assert "BroadcastHashJoin" not in plan
