@@ -27,7 +27,7 @@ is stable (deterministic, one tiny aggregate per round — no
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Observation
+from pyspark.sql import DataFrame, Observation, Window
 from pyspark.sql import functions as F
 from pyspark.storagelevel import StorageLevel
 
@@ -60,30 +60,84 @@ def _checkpoint_with_fingerprint(
 
 
 def _large_star(edges: DataFrame) -> DataFrame:
-    # symmetrize: both orientations
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    mins = sym.groupBy("u").agg(F.least(F.min("v"), F.first("u")).alias("m"))
+    """One large-star half-round as a single count-window pass (r6).
+
+    The r1-r5 form computed per-node minima with groupBy + join (two
+    exchanges) and deduplicated with a third; the min is now a window
+    aggregate over the one hash(u) exchange (guide §2.4), and the
+    mid-round ``distinct`` is dropped: each undirected edge (u < v) is
+    emitted exactly once (from its smaller endpoint), so the output
+    MULTISET has exactly |E| rows — duplicates of the same (v, m) value
+    from different source nodes ride to the round-final distinct, and
+    ``_small_star``'s window min is multiset-insensitive, so the per-
+    round edge SET (and every fingerprint) is unchanged."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    w = Window.partitionBy("u")
+    m = F.least(F.min("v").over(w), F.col("u"))
     return (
-        sym.join(mins, "u")
+        sym.withColumn("m", m)
         .filter(F.col("v") > F.col("u"))
         .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .distinct()
     )
 
 
 def _small_star(edges: DataFrame) -> DataFrame:
-    # orient toward the smaller endpoint: u keeps neighbors v <= u
-    sym = edges.select("u", "v").union(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    """One small-star half-round as a single count-window pass (r6) —
+    same rework as :func:`_large_star`; the round-final ``distinct``
+    restores set semantics for the fingerprint/checkpoint."""
+    sym = edges.select("u", "v").union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
     le = sym.filter(F.col("v") <= F.col("u"))
-    mins = le.groupBy("u").agg(F.min("v").alias("m"))
-    linked = (
-        le.join(mins, "u")
-        .select(F.col("v").alias("u"), F.col("m").alias("v"))
-        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+    w = Window.partitionBy("u")
+    pair = F.explode(
+        F.array(
+            F.struct(F.col("v").alias("u"), F.col("m").alias("v")),
+            F.struct(F.col("u").alias("u"), F.col("m").alias("v")),
+        )
+    )
+    return (
+        le.withColumn("m", F.min("v").over(w))
+        .select(pair.alias("p"))
+        .select("p.u", "p.v")
         .filter(F.col("u") != F.col("v"))
         .distinct()
     )
-    return linked
+
+
+def _is_star_forest(edges: DataFrame) -> bool:
+    """True iff ``edges`` (all oriented v < u by construction of
+    ``_small_star``) is a min-rooted star forest — the alternating
+    algorithm's fixed point (Kiveris et al. SoCC'14).  Checking this on
+    the just-checkpointed round output ends the loop WITHOUT the extra
+    fingerprint-confirmation round the r1-r5 loop paid: one aggregate +
+    one semi-join over the (checkpointed, lineage-free) edge leaf vs a
+    full round's three shuffles + checkpoint.  Conservative: a False
+    here merely means one more round; the fingerprint-stability test
+    remains as backstop, so termination semantics are unchanged."""
+    per_u = edges.groupBy("u").agg(F.count(F.lit(1)).alias("c"))
+    multi = per_u.filter(F.col("c") > 1).select(F.lit(1).alias("x"))
+    # a target that is also a source ⇒ a chain, not a star
+    chained = (
+        edges.select(F.col("v").alias("u"))
+        .join(per_u, "u", "leftsemi")
+        .select(F.lit(1).alias("x"))
+    )
+    return multi.unionByName(chained).isEmpty()
+
+
+# edge rows are ~24 B (two longs + overhead); 32 MB per round-input
+# partition keeps every shuffle/window task meaningfully sized while
+# deriving the partition count from the OBSERVED edge count — at 25
+# test edges one partition, at 10⁹ lake edges ~750 (guide §2: scale-
+# adaptive partitioning, never a constant tuned to local core count).
+_EDGE_ROWS_PER_PARTITION = 1_400_000
+
+
+def _nparts(n_rows: int) -> int:
+    return int(n_rows // _EDGE_ROWS_PER_PARTITION) + 1
 
 
 def connected_components(
@@ -93,15 +147,30 @@ def connected_components(
     min id in the component; singletons are NOT emitted (callers join
     with the id universe and ``coalesce(component_id, id)``).
 
+    r6 loop shape: the initial edge count rides the initialization
+    checkpoint as an Observation (no separate ``isEmpty`` action); each
+    round's input is ``coalesce``d (narrow, no shuffle) to a partition
+    count derived from the PREVIOUS round's observed edge count, so the
+    first round no longer launches 64-partition-shaped stages over a
+    handful of rows; and the loop exits via the star-forest fixed-point
+    test (:func:`_is_star_forest`) instead of paying one extra full
+    round to see the fingerprint repeat.  Fingerprint stability stays
+    as backstop — results are bit-identical to the r1-r5 loop (same
+    fixed point, pinned by the CC oracles and the local[1..32]
+    determinism test).
+
     Returns (components, rounds_used).
     """
+    obs0 = Observation("cc_init")
     cur = (
         edges.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
+        .observe(obs0, F.count(F.lit(1)).alias("n"))
         .localCheckpoint(eager=True)
     )
-    if cur.isEmpty():
+    n_edges = int(obs0.get["n"])
+    if n_edges == 0:
         spark = edges.sparkSession
         empty = spark.createDataFrame([], "id long, component_id long")
         return empty, 0
@@ -109,12 +178,16 @@ def connected_components(
     prev_fp = (-1, -1)
     rounds = 0
     for rounds in range(1, max_iterations + 1):
+        inp = cur.coalesce(_nparts(n_edges))
         cur, fp = _checkpoint_with_fingerprint(
-            _small_star(_large_star(cur)), f"cc_round_{rounds}"
+            _small_star(_large_star(inp)), f"cc_round_{rounds}"
         )
         if fp == prev_fp:
             break
         prev_fp = fp
+        n_edges = max(fp[0], 1)
+        if _is_star_forest(cur):
+            break
     # fixed point: every edge is (member → component-min)
     comps = cur.select(
         F.col("u").alias("id"), F.col("v").alias("component_id")
