@@ -48,11 +48,9 @@ from typing import Iterator
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
-from selfclean_spark import caching
 from selfclean_spark.operators.ingest import fanout_few_files
 
 # Winnowing parameters — k-gram length, window width, polynomial base,
@@ -274,18 +272,20 @@ def winnow_clone_pairs(
                 F.array_distinct(F.expr("transform(_sel, x -> x.h)"))
             ).alias("h"),
         )
-    # persist the postings and the capped index: the winnowing map pass
-    # is the expensive node and the plan reads the postings twice (df
-    # count + index join) and the capped index three times (sizes +
-    # both self-join sides) — without the caches the fingerprint kernel
-    # re-ran once per consumer (registered with ``caching`` for
-    # release; 16 B/row, the same band-cache discipline as the LSH path)
-    fps = caching.register_persist(fps.persist(StorageLevel.MEMORY_AND_DISK))
-    freq = fps.groupBy("h").agg(F.count(F.lit(1)).alias("df"))
-    pruned = caching.register_persist(
-        fps.join(
-            freq.filter(F.col("df") <= max_doc_freq).select("h"), "h"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    # df-cap via a count window over the ONE hash(h) exchange (r6, guide
+    # §2.4 — the band_pair_stream rework): the window's partition key
+    # equals the self-join key, so the per-doc size count and both join
+    # sides are served by AQE exchange reuse from a single materialized
+    # shuffle — the winnowing kernel runs once with no persist and no
+    # df-aggregate + semi-join chain (a persist here would break
+    # exchange reuse: InMemoryRelation subtrees do not canonicalize
+    # equal in Spark 4.1).  Capped postings are identical.
+    pruned = (
+        fps.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("h"))
+        )
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
     )
     sizes = pruned.groupBy("id").agg(F.count(F.lit(1)).alias("n_fp"))
     a = pruned.select("h", F.col("id").alias("id_a"))
@@ -368,9 +368,14 @@ def block_clone_pairs(
         .select("id", "_nb", "bh")
         .distinct()
     )
-    freq = blocks.groupBy("bh").agg(F.count(F.lit(1)).alias("df"))
-    pruned = blocks.join(
-        freq.filter(F.col("df") <= max_doc_freq).select("bh"), "bh"
+    # df-cap via count window over the hash(bh) exchange (r6 — the
+    # band_pair_stream rework); both self-join sides reuse the shuffle
+    pruned = (
+        blocks.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("bh"))
+        )
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
     )
     a = pruned.select("bh", F.col("id").alias("id_a"), F.col("_nb").alias("nb_a"))
     b = pruned.select("bh", F.col("id").alias("id_b"), F.col("_nb").alias("nb_b"))

@@ -114,9 +114,17 @@ def token_jaccard_pairs(
     postings = std.select(
         "id", F.explode(F.array_distinct(F.split(F.trim("content"), r"\s+"))).alias("tok")
     ).filter(F.length("tok") > 0)
-    tok_freq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    pruned = postings.join(
-        tok_freq.filter(F.col("df") <= max_doc_freq).select("tok"), "tok"
+    # df-cut via a count window over the one hash(tok) exchange (r6,
+    # guide §2.4): the window's partition key equals the self-join key,
+    # so both join sides and the size count reuse a single materialized
+    # shuffle — no df-aggregate + semi-join chain, and the tokenize/
+    # explode pass runs once.  Capped postings are identical.
+    pruned = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
     )
     # per-doc sizes over the CAPPED vocabulary — numerator and
     # denominator see the same token universe, so the result is the
@@ -233,14 +241,13 @@ def simhash_near_pairs(
     cfg = cfg or SignatureConfig()
     std = _std(df, id_col, text_col, fanout=True)
     # simhash-only kernel: skips MinHash-128 (and the sha projection —
-    # neither is consumed by this operator)
-    # persist: the narrow (id, simhash, block) table is read by the
-    # size-count, the capping join, and both pair sides — without the
-    # cache the Python sketch pass would re-run once per consumer
-    # (registered with ``caching`` — see minhash_lsh_pairs)
-    sigs = caching.register_persist(
-        sig_ops.compute_simhash(std, cfg).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # neither is consumed by this operator).  No persist (r6): the only
+    # consumer chain is blocks → the one block-key exchange, and AQE
+    # exchange reuse serves every downstream reader from that shuffle —
+    # with a persist here the cached relation would BREAK exchange
+    # reuse (InMemoryRelation subtrees do not canonicalize equal in
+    # Spark 4.1) and the sketch pass would feed two block exchanges.
+    sigs = sig_ops.compute_simhash(std, cfg)
     return simhash_pairs_from_sigs(sigs, max_hamming, n_tables, block_cap)
 
 
@@ -255,9 +262,9 @@ def simhash_pairs_from_sigs(
     already hold a persisted signature table (e.g.
     ``queries.dedup_method_agreement``, whose MinHash signature table
     carries the simhash column from the same sketch pass) never pay a
-    second Python sketch scan of the corpus.  ``sigs`` should already
-    be persisted by the caller: the block table feeds the size-count,
-    the capping join, and both pair sides."""
+    second Python sketch scan of the corpus.  The block table feeds the
+    size cap (a count window over the block exchange) and both pair
+    sides — all served from that one exchange."""
     if n_tables is None:
         n_tables = max_hamming + 1
     width = 64 // n_tables
@@ -276,15 +283,19 @@ def simhash_pairs_from_sigs(
         ).alias("block_id", "block_key"),
     )
     keys = ["block_id", "block_key"]
-    # pre-count block sizes (map-side combine handles hot keys) and keep
-    # only under-cap blocks — the same pattern as candidates.candidate_pairs
-    eligible = (
-        blocks.groupBy(*keys)
-        .agg(F.count(F.lit(1)).alias("n"))
+    # block-size cap via a count window over the one hash(block) exchange
+    # (r6, guide §2.4 — same rework as candidates.band_pair_stream): the
+    # window's partition keys equal the self-join keys, so both pair
+    # sides consume the window output partitioning directly and, absent
+    # a persist below, AQE exchange reuse materializes the block shuffle
+    # once.  Capped membership (2 ≤ n ≤ cap) is unchanged.
+    capped = (
+        blocks.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy(*keys))
+        )
         .filter((F.col("n") >= 2) & (F.col("n") <= block_cap))
-        .select(*keys)
+        .drop("n")
     )
-    capped = blocks.join(eligible, keys, "inner")
     a = capped.select(
         *keys, F.col("id").alias("id_a"), F.col("simhash").alias("sim_a")
     )
@@ -326,13 +337,16 @@ def repo_fork_pairs(
     files = df.select(
         F.col(repo_col).alias("repo"), F.sha2(F.col(text_col), 256).alias("sha")
     ).distinct()
-    eligible = (
-        files.groupBy("sha")
-        .agg(F.count(F.lit(1)).alias("n"))
+    # df-cap via count window over the hash(sha) exchange (r6 — the
+    # band_pair_stream rework): both self-join sides reuse the one
+    # shuffle; capped membership unchanged
+    capped = (
+        files.withColumn(
+            "n", F.count(F.lit(1)).over(Window.partitionBy("sha"))
+        )
         .filter((F.col("n") >= 2) & (F.col("n") <= file_df_cap))
-        .select("sha")
+        .drop("n")
     )
-    capped = files.join(eligible, "sha")
     sizes = files.groupBy("repo").agg(
         F.count(F.lit(1)).cast("long").alias("n_files")
     )
