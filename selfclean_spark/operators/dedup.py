@@ -164,25 +164,29 @@ def minhash_signatures(
     corpus signature table and never re-run the sketch UDF for it.
 
     The sketch mapInPandas is the expensive node and the pair plan
-    reads it three times (band hashing + both enrich sides) — persist
-    so it runs once per doc (the durable pipeline gets this for free
-    from its signature checkpoint; standalone queries need the cache).
-    The persist is registered with ``caching`` so long-lived sessions
-    can release it (``caching.unpersist_all()``) after materializing
-    the consuming plan.  ``keep_shingles``: verification reads the
-    shingle arrays straight off this cached table — no second Python
-    shingle pass, no content join (right trade here: standalone
-    corpora use token mode where the array is about the size of the
-    text)."""
+    reads it three times (band hashing + both enrich sides).  r6: it is
+    materialized with ``localCheckpoint`` rather than ``persist`` — a
+    checkpointed table is a LogicalRDD leaf, and two plan references to
+    the same LogicalRDD canonicalize equal, so AQE exchange reuse works
+    ABOVE it (one band shuffle serves both self-join sides); an
+    InMemoryRelation in the same position defeats that reuse in
+    Spark 4.1 and was measured ~0.6 s slower per edge query at sf0.1.
+    Fault-tolerance trade (guide §5): lineage is cut, so a lost
+    executor cannot recompute the signature blocks — irrelevant in
+    local mode (one JVM) and covered at cluster scale by the durable
+    pipeline's parquet signature checkpoint (``plans.pipeline``), which
+    is the deployment path for long jobs.  ``keep_shingles``:
+    verification reads the shingle arrays straight off this
+    materialized table — no second Python shingle pass, no content
+    join (right trade here: standalone corpora use token mode where
+    the array is about the size of the text)."""
     cfg = cfg or PipelineConfig()
     std = _std(df, id_col, text_col, fanout=True).withColumn(
         "content_sha", F.sha2("content", 256)
     )
-    return caching.register_persist(
-        sig_ops.compute_signatures(
-            std, cfg.signature, keep_shingles=True
-        ).persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    return sig_ops.compute_signatures(
+        std, cfg.signature, keep_shingles=True
+    ).localCheckpoint(eager=True)
 
 
 def minhash_lsh_pairs(

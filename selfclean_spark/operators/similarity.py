@@ -43,8 +43,8 @@ def _capped_signatures(
     sigs: DataFrame, bucket_cap: int
 ) -> tuple[DataFrame, DataFrame, DataFrame]:
     """(id, vec_sha, table_id, bucket) → (under-cap rows, dropped-bucket
-    log, the full persisted signature table — the exact-pair rescue
-    reads the latter: it must see rows in DROPPED buckets too).
+    log, the full signature stream — the exact-pair rescue reads the
+    latter: it must see rows in DROPPED buckets too).
 
     Same count-first discipline as ``candidates.candidate_pairs``:
     bucket sizes are aggregated FIRST (map-side combine absorbs hot
@@ -53,30 +53,36 @@ def _capped_signatures(
     10^12 candidate rows.  The size-filter join and the pair join share
     the (table_id, bucket) key, so the exchange is reused.
 
-    The signature table is repartitioned by the bucket key and
-    PERSISTED (mirroring ``candidates.band_pair_stream``): it feeds the
-    bucket-size aggregate AND both self-join sides, so without the
-    persist the hyperplane matmul UDF would re-evaluate once per plan
-    consumer — up to 3× the sketch compute over the full corpus.  The
-    cached relation is (id, vec_sha, table_id, bucket): ~32 B/row —
-    the text band cache's 24 B (id, table_id, bucket) plus the 8-byte
-    vec_sha that the exact-pair rescue reads (computed in the same
-    scan as the sketch precisely so it can ride this cache instead of
-    costing a second corpus pass); registered with
-    ``selfclean_spark.caching`` so ``unpersist_all()`` releases it.
+    Bucket sizing is a count WINDOW over the one hash(table_id, bucket)
+    exchange (r6 — the ``candidates.band_pair_stream`` rework): the
+    window's partition keys equal the self-join keys, so both pair
+    sides, and the exact-pair rescue's unfiltered read (third return —
+    it must see rows in DROPPED buckets too), are served by AQE
+    exchange reuse from that single materialized shuffle.  The
+    hyperplane matmul UDF therefore runs once, on the exchange's map
+    side, with no persist (a cached relation below the exchange would
+    BREAK exchange reuse — InMemoryRelation subtrees do not
+    canonicalize equal in Spark 4.1 — re-running the UDF per consumer).
+    The 8-byte ``vec_sha`` rides the same rows so the rescue still
+    costs no second corpus pass.
     """
-    from selfclean_spark import caching
-
     keys = ["table_id", "bucket"]
-    sx = caching.register_persist(
-        sigs.repartition(*keys).persist(StorageLevel.MEMORY_AND_DISK)
+    plain = sigs.select(
+        "id",
+        "vec_sha",
+        *keys,
+        F.count(F.lit(1)).over(Window.partitionBy(*keys)).alias("bs"),
     )
-    sizes = sx.groupBy(*keys).agg(F.count(F.lit(1)).alias("bucket_size"))
-    dropped = sizes.filter(F.col("bucket_size") > bucket_cap)
-    eligible = sizes.filter(
-        (F.col("bucket_size") >= 2) & (F.col("bucket_size") <= bucket_cap)
-    ).select(*keys)
-    return sx.join(eligible.hint("shuffle_hash"), keys, "inner"), dropped, sx
+    capped = plain.filter(
+        (F.col("bs") >= 2) & (F.col("bs") <= bucket_cap)
+    ).drop("bs")
+    all_rows = plain.drop("bs")
+    dropped = (
+        sigs.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("bucket_size"))
+        .filter(F.col("bucket_size") > bucket_cap)
+    )
+    return capped, dropped, all_rows
 
 
 def _exact_vector_pairs(sigs_cached: DataFrame, pair_cap: int) -> DataFrame:
@@ -84,12 +90,13 @@ def _exact_vector_pairs(sigs_cached: DataFrame, pair_cap: int) -> DataFrame:
     fast path that keeps identical-vector families (the very rows that
     overflow sign-sketch buckets) pairable after the bucket cap.
 
-    Reads the PERSISTED signature table (which carries ``vec_sha``
-    computed in the same scan as the sketch — no second corpus pass;
-    one table's rows suffice since vec_sha repeats per table) and
-    reuses the sha-equality kernel: groups ≤ ``pair_cap`` emit all
-    pairs, larger groups emit linear star edges (same components,
-    bounded output) — see ``candidates.exact_duplicate_pairs``."""
+    Reads the full signature stream off the shared bucket exchange
+    (which carries ``vec_sha`` computed in the same scan as the sketch
+    — no second corpus pass; one table's rows suffice since vec_sha
+    repeats per table) and reuses the sha-equality kernel: groups ≤
+    ``pair_cap`` emit all pairs, larger groups emit linear star edges
+    (same components, bounded output) — see
+    ``candidates.exact_duplicate_pairs``."""
     keyed = sigs_cached.filter(F.col("table_id") == 0).select(
         "id", F.col("vec_sha").alias("content_sha")
     )
