@@ -11,16 +11,15 @@ whole relation into one task — fine at test scale, a bottleneck at
 3. within-partition ``row_number`` (parallel window) + broadcast-joined
    offset = the global rank.
 
-The sorted frame is persisted between the two passes so both read the
-same partitioning (repartitionByRange samples its bounds; persisting
-pins them).
+The sorted frame is materialized (localCheckpoint) between the two
+passes so both read the same partitioning — the checkpointed leaf
+freezes the sampled range bounds and partition ids.
 """
 
 from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
-from pyspark.storagelevel import StorageLevel
 
 
 def with_global_rank(
@@ -33,25 +32,34 @@ def with_global_rank(
     ``order_cols`` without a single-partition window.
 
     The returned DataFrame is range-partitioned and sorted by the key
-    (so a downstream ``orderBy(rank)`` is a no-shuffle sort).  The
-    persist (MEMORY_AND_DISK, needed to pin the sampled range bounds
-    between the two passes) is registered with
-    ``selfclean_spark.caching`` so ``unpersist_all()`` releases it —
-    rankings-heavy long sessions don't accumulate orphan block-manager
-    entries waiting on LRU.
-    """
-    from selfclean_spark import caching
+    (so a downstream ``orderBy(rank)`` is a no-shuffle sort).
 
+    r6 pass-1 shape: the sort is a plain ``orderBy`` — AQE sizes the
+    range-shuffle read by DATA bytes (advisory partition size), so a
+    300-row ranking gets one partition and a 10¹²-row one gets
+    thousands, instead of the fixed ``spark.sql.shuffle.partitions``
+    fan-out the old ``repartitionByRange(n)`` pinned — and the sorted
+    frame is materialized with ``localCheckpoint`` rather than persist:
+    partition ids are frozen in the checkpointed leaf (the old persist
+    existed to pin sampled range bounds), pass 2's window plans against
+    a leaf instead of re-embedding the whole upstream tree, and AQE
+    exchange reuse above a LogicalRDD works (an InMemoryRelation in the
+    same spot defeats it in Spark 4.1).  An explicit ``num_partitions``
+    falls back to the pinned ``repartitionByRange`` for callers that
+    need a fixed layout.  Ranks are partitioning-independent because
+    every caller orders by a TOTAL order (tie-broken by id).
+    """
     spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_parts = max(1, min(num_partitions, 2000))
-    sorted_df = caching.register_persist(
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    if num_partitions is not None:
+        n_parts = max(1, min(num_partitions, 2000))
+        sorted_plan = df.repartitionByRange(
+            n_parts, *order_cols
+        ).sortWithinPartitions(*order_cols)
+    else:
+        sorted_plan = df.orderBy(*order_cols)
+    sorted_df = sorted_plan.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     counts = sorted_df.groupBy("_pid").count().collect()
     offsets = {}
     running = 0
@@ -110,18 +118,20 @@ def with_global_cumsum(
     """
     from pyspark.sql.types import LongType, StructField, StructType
 
-    from selfclean_spark import caching
-
     spark = df.sparkSession
-    if num_partitions is None:
-        num_partitions = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    n_parts = max(1, min(num_partitions, 2000))
-    sorted_df = caching.register_persist(
-        df.repartitionByRange(n_parts, *order_cols)
-        .sortWithinPartitions(*order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .persist(StorageLevel.MEMORY_AND_DISK)
-    )
+    # same r6 pass-1 shape as with_global_rank: AQE-sized orderBy +
+    # localCheckpoint (see there); explicit num_partitions pins the
+    # old repartitionByRange layout
+    if num_partitions is not None:
+        n_parts = max(1, min(num_partitions, 2000))
+        sorted_plan = df.repartitionByRange(
+            n_parts, *order_cols
+        ).sortWithinPartitions(*order_cols)
+    else:
+        sorted_plan = df.orderBy(*order_cols)
+    sorted_df = sorted_plan.withColumn(
+        "_pid", F.spark_partition_id()
+    ).localCheckpoint(eager=True)
     sums = sorted_df.groupBy("_pid").agg(
         F.sum(value_col).cast("long").alias("_s")
     ).collect()

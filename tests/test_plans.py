@@ -312,7 +312,14 @@ def test_export_shard_plan_exchange_budget(spark):
     assert "CartesianProduct" not in plan
     assert "windowspecdefinition(_pid" in plan, plan
     assert "Exchange SinglePartition" not in plan, plan
-    assert "Exchange rangepartitioning(source" in plan, plan
+    # r6: the order-establishing range exchange runs inside pass 1's
+    # localCheckpoint (AQE-sized orderBy); pass 2 reads the
+    # checkpointed leaf, so the final plan shows an RDD scan, never a
+    # fresh corpus-wide range shuffle
+    assert "Scan ExistingRDD" in plan, plan
+    # (the only range exchange left is the small output sort by
+    # shard_id; the corpus-ordering one on (source, doc_id) is gone)
+    assert "Exchange rangepartitioning(source" not in plan, plan
     assert "BroadcastHashJoin" in plan, plan
     caching.clear(blocking=True)
 

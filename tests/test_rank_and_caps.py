@@ -49,30 +49,26 @@ def test_candidate_hot_bucket_dropped_and_logged(spark):
     assert len(d) == 1 and d[0].bucket_size == 30
 
 
-def test_with_global_rank_persist_released_by_caching_clear(spark):
-    """The two-pass rank's interior persist is registered with
-    ``selfclean_spark.caching`` (VERDICT r3 #6): ``clear()`` must
-    release it — no orphan block-manager entries in rankings-heavy
-    sessions waiting on LRU eviction."""
+def test_with_global_rank_registers_no_persist(spark):
+    """r6 contract inversion: the two-pass rank materializes its sorted
+    frame with ``localCheckpoint`` (AQE-sized orderBy, lineage cut, no
+    block-manager registration), so it must register NOTHING with the
+    caching registry — checkpointed RDDs are released by Spark's
+    ContextCleaner when the DataFrame goes out of scope, not by
+    ``caching.clear()``.  Ranks stay correct and dense."""
     from selfclean_spark import caching
 
-    def persisted_ids() -> set[int]:
-        jm = spark.sparkContext._jsc.getPersistentRDDs()
-        return {int(k) for k in jm.keySet().toArray()}
-
     caching.clear(blocking=True)
-    before = persisted_ids()
     df = spark.range(0, 200).select(
         F.col("id"), (F.xxhash64("id") % 13).alias("s")
     )
     ranked = with_global_rank(df, [F.col("s").asc(), F.col("id").asc()])
-    assert ranked.count() == 200
-    # id-set, not global count: the ContextCleaner unpersists unrelated
-    # GC'd relations concurrently in a long-lived session
-    created = persisted_ids() - before
-    assert created, "with_global_rank must persist its interior relation"
-    caching.clear(blocking=True)
-    assert not (persisted_ids() & created)
+    rows = ranked.orderBy("rank").collect()
+    assert [r["rank"] for r in rows] == list(range(1, 201))
+    assert caching.unpersist_all() == 0, (
+        "with_global_rank must not register operator-level persists "
+        "(r6 localCheckpoint shape)"
+    )
 
 
 @pytest.mark.parametrize("impl", ["window", "arrow"])
