@@ -3253,6 +3253,14 @@ def import_cooccurrence_pairs(spark, sf_dir):
     keys are canonicalized by string order (mod_a < mod_b), identical
     in both engines.
 
+    k-BOUND ASSUMPTION (ADVICE r5 #2): the self-product is O(k²) per
+    document, safe here because imports are PLANTED (k ≤ 3 by
+    construction) and the organic word-soup text cannot match the
+    ``import modN`` pattern.  A corpus with real import-heavy files
+    (k in the hundreds) must cap or slice the extracted module array
+    before the product — the exploded-join form with a df-cap is then
+    the right shape (see ``_ngram_pairs``).
+
     Reference analog: SelfClean surfaces pairwise structure only via
     embedding distance (selfclean/cleaner/near_duplicates/
     embedding_distance_mixin.py); this is the code-payload structural

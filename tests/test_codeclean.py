@@ -239,6 +239,14 @@ def test_import_cooccurrence_pairs_independent_recompute(spark):
     )
 
     pdf = pd.read_parquet(sf + "/documents.parquet", columns=["doc_id"])
+    # ADVICE r5 #1: Python % is FLOORED mod while Spark/DuckDB % is
+    # TRUNCATED — they agree only for non-negative doc_id.  Assert the
+    # assumption so a future signed-id corpus fails loudly here instead
+    # of with a confusing count mismatch below.
+    assert (pdf["doc_id"].astype("int64") >= 0).all(), (
+        "pure-Python recompute assumes non-negative doc_id (floored vs "
+        "truncated %)"
+    )
     counts = {}
     for i in pdf["doc_id"].astype("int64"):
         mods = [f"mod{i % 7}", f"mod{i % 5 + 7}"]
