@@ -2414,9 +2414,12 @@ def source_novelty_report(spark, sf_dir):
     grams = toks.select(
         "src_idx", "source", F.explode(gram_arr).alias("g")
     ).distinct()
-    first = grams.groupBy("g").agg(F.min("src_idx").alias("first_idx"))
+    # first-seen as a window min over the hash(g) exchange (r6 — the
+    # band_pair_stream pattern): one exchange + per-row compare instead
+    # of a min-aggregate + re-join on the gram key; values identical
+    first_idx = F.min("src_idx").over(Window.partitionBy("g"))
     per_src = (
-        grams.join(first, "g")
+        grams.withColumn("first_idx", first_idx)
         .groupBy("src_idx", "source")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_grams"),

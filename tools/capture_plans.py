@@ -29,6 +29,7 @@ TOUCHED = [
     "source_overlap_pairs",
     "lsh_topk_ann",
     "export_shard_plan",
+    "source_novelty_report",
 ]
 
 
