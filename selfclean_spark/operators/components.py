@@ -246,20 +246,39 @@ def contracted_triangle_stats(
     std = docs.select(
         F.col(id_col).alias("id"), F.col(text_col).alias("content")
     )
-    postings = std.select(
-        "id",
-        F.explode(
-            F.array_distinct(F.split(F.trim("content"), r"\s+"))
-        ).alias("tok"),
-    ).filter(F.length("tok") > 0)
-    tok_freq = postings.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
-    pruned = caching.register_persist(
-        postings.join(
-            tok_freq.filter(F.col("df") <= max_doc_freq).select("tok"), "tok"
-        ).persist(StorageLevel.MEMORY_AND_DISK)
+    # tokens are hashed to int64 AT THE SCAN (r6, hash-first): every
+    # downstream shuffle (df-cut window, set collapse, representative
+    # postings, prefix join, intersection verify) moves 8-byte ints,
+    # never token strings.  All derived quantities are hash-family-
+    # independent absent collisions: df counts, set sizes, intersection
+    # counts — and the AllPairs prefix filter only needs SOME global
+    # total order on tokens (ascending (rdf, tok-hash) is one), so the
+    # verified edge set is unchanged.  The output carries no token at
+    # all, and the DuckDB twin recomputes at the string level —
+    # agreement cross-checks the rewrite.
+    postings = (
+        std.select(
+            "id",
+            F.explode(
+                F.array_distinct(F.split(F.trim("content"), r"\s+"))
+            ).alias("tok_s"),
+        )
+        .filter(F.length("tok_s") > 0)
+        .select("id", F.xxhash64("tok_s").alias("tok"))
+    )
+    # df-cut via count window over the one hash(tok) exchange (the
+    # band_pair_stream rework); both consumers (set collapse and the
+    # representative postings) are served by exchange reuse — no
+    # persist, no df-aggregate + semi-join
+    pruned = (
+        postings.withColumn(
+            "df", F.count(F.lit(1)).over(Window.partitionBy("tok"))
+        )
+        .filter(F.col("df") <= max_doc_freq)
+        .drop("df")
     )
     # collapse identical capped sets: 128-bit set key over the sorted
-    # token list (collision-negligible; never leaves the executor)
+    # token-hash list (collision-negligible; never leaves the executor)
     doc_sets = pruned.groupBy("id").agg(
         F.md5(F.concat_ws(" ", F.sort_array(F.collect_list("tok")))).alias(
             "skey"
