@@ -30,6 +30,7 @@ TOUCHED = [
     "lsh_topk_ann",
     "export_shard_plan",
     "source_novelty_report",
+    "dedup_graph_triangles",
 ]
 
 
